@@ -1,0 +1,217 @@
+"""Public differentiable rasterisation API (TPU-native).
+
+API parity with the reference ``dirt/rasterise_ops.py``:
+
+  * ``rasterise`` / ``rasterise_batch`` -- direct rasterisation with analytic
+    filter-based gradients (dirt/rasterise_ops.py:13-108).
+  * ``rasterise_deferred`` / ``rasterise_batch_deferred`` -- deferred shading
+    whose backward pass invokes the gradient assembly twice: once filtering
+    the *shaded* pixels (for vertex gradients) and once filtering the G-buffer
+    with the shader-chained cotangent (for attribute/background gradients)
+    (dirt/rasterise_ops.py:180-257).
+
+Architectural differences from the reference (deliberate, TPU-first):
+  * forward and backward fuse under one ``jax.custom_vjp``; the aux buffers
+    (barycentrics, clip-w, vertex-index triples) are forward residuals instead
+    of being re-rendered by a second op (csrc/rasterise_grad_egl.cpp:432-456).
+  * arbitrary channel counts are rasterised natively in one pass -- no
+    RGBA-driven channel splitting (dirt/rasterise_ops.py:86-108).  Gradients
+    *do* replicate the reference's 3+1 channel grouping, because grouping
+    changes the Scharr/dilation decisions and hence the gradient values.
+  * ``shader_fn`` may safely close over tensors it needs gradients for ONLY if
+    they are passed via ``shader_additional_inputs`` (same caveat as the
+    reference, dirt/rasterise_ops.py:279-283, because the custom_vjp boundary
+    cannot see through closures).
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .ops import backward as _backward
+from .ops import dispatch as _dispatch
+
+
+def _int_cotangent(x):
+    """Zero cotangent for integer inputs (jax requires dtype float0)."""
+    return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+
+# ---------------------------------------------------------------------------
+# Direct rasterisation
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _rasterise_batch_core(background, vertices, vertex_colors, faces, backend):
+    pixels, _ = _dispatch.forward_batch(
+        background, vertices, vertex_colors, faces, backend)
+    return pixels
+
+
+def _rasterise_fwd(background, vertices, vertex_colors, faces, backend):
+    pixels, aux = _dispatch.forward_batch(
+        background, vertices, vertex_colors, faces, backend)
+    return pixels, (vertices, faces, pixels, aux)
+
+
+def _rasterise_bwd(backend, residuals, grad_pixels):
+    del backend
+    vertices, faces, pixels, aux = residuals
+    grad_background, grad_vertices, grad_vertex_colors = (
+        _backward.rasterise_grad_grouped(
+            vertices, faces, pixels, grad_pixels, aux))
+    return (grad_background, grad_vertices, grad_vertex_colors,
+            _int_cotangent(faces))
+
+
+_rasterise_batch_core.defvjp(_rasterise_fwd, _rasterise_bwd)
+
+
+def rasterise_batch(background, vertices, vertex_colors, faces, height=None,
+                    width=None, channels=None, backend=None):
+    """Rasterises a batch of meshes with common vertex/face counts.
+
+    Args:
+        background: float32 [batch, height, width, channels] image rendered
+            behind the meshes.
+        vertices: float32 [batch, vertex count, 4] clip-space positions
+            (OpenGL conventions: the camera looks down -z in view space).
+        vertex_colors: float32 [batch, vertex count, channels]; interpolated
+            perspective-correctly across each triangle.
+        faces: int32 [batch, face count, 3] vertex-index triples.
+        height, width, channels: optional ints; validated against the static
+            background shape when given (API parity with the reference, where
+            they defined the native op's attributes).
+        backend: optional "pallas" | "reference" override.
+
+    Returns:
+        float32 [batch, height, width, channels] rendered pixels, top row
+        first.  Differentiable wrt background, vertices and vertex_colors
+        (not faces), with filter-based boundary/occlusion gradients.
+    """
+    background = jnp.asarray(background, jnp.float32)
+    vertices = jnp.asarray(vertices, jnp.float32)
+    vertex_colors = jnp.asarray(vertex_colors, jnp.float32)
+    faces = jnp.asarray(faces, jnp.int32)
+    _check_hwc(background, height, width, channels)
+    return _rasterise_batch_core(
+        background, vertices, vertex_colors, faces, backend)
+
+
+def rasterise(background, vertices, vertex_colors, faces, height=None,
+              width=None, channels=None, backend=None):
+    """Rasterises a single mesh over a background.
+
+    Single-image variant of ``rasterise_batch`` (no leading batch dimension on
+    any argument).  Reference: dirt/rasterise_ops.py:13-48.
+    """
+    return rasterise_batch(
+        jnp.asarray(background, jnp.float32)[None],
+        jnp.asarray(vertices, jnp.float32)[None],
+        jnp.asarray(vertex_colors, jnp.float32)[None],
+        jnp.asarray(faces, jnp.int32)[None],
+        height, width, channels, backend)[0]
+
+
+def _check_hwc(background, height, width, channels):
+    if height is not None and background.shape[-3] != height:
+        raise ValueError(
+            f"height {height} != background height {background.shape[-3]}")
+    if width is not None and background.shape[-2] != width:
+        raise ValueError(
+            f"width {width} != background width {background.shape[-2]}")
+    if channels is not None and background.shape[-1] != channels:
+        raise ValueError(
+            f"channels {channels} != background channels {background.shape[-1]}")
+
+
+# ---------------------------------------------------------------------------
+# Deferred shading
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 5))
+def _deferred_core(shader_fn, background, vertices, attributes, faces,
+                   backend, shader_inputs):
+    gbuffer, _ = _dispatch.forward_batch(
+        background, vertices, attributes, faces, backend)
+    return shader_fn(gbuffer, *shader_inputs)
+
+
+def _deferred_fwd(shader_fn, background, vertices, attributes, faces, backend,
+                  shader_inputs):
+    gbuffer, aux = _dispatch.forward_batch(
+        background, vertices, attributes, faces, backend)
+    pixels = shader_fn(gbuffer, *shader_inputs)
+    return pixels, (vertices, faces, gbuffer, pixels, aux, shader_inputs)
+
+
+def _deferred_bwd(shader_fn, backend, residuals, grad_pixels):
+    del backend
+    vertices, faces, gbuffer, pixels, aux, shader_inputs = residuals
+
+    # Vertex gradients come from filtering the *shaded* image: these are the
+    # final, correct boundary gradients (dirt/rasterise_ops.py:204-210).
+    _, grad_vertices, _ = _backward.rasterise_grad_grouped(
+        vertices, faces, pixels, grad_pixels, aux)
+
+    # Attribute/background gradients flow through the shader first, then
+    # through the rasteriser's interior gradients
+    # (dirt/rasterise_ops.py:212-237); the vertex gradients of this second
+    # call are discarded.
+    _, shader_vjp = jax.vjp(
+        lambda gb, si: shader_fn(gb, *si), gbuffer, shader_inputs)
+    grad_gbuffer, grad_shader_inputs = shader_vjp(grad_pixels)
+
+    grad_background, _, grad_attributes = _backward.rasterise_grad_grouped(
+        vertices, faces, gbuffer, grad_gbuffer, aux)
+
+    return (grad_background, grad_vertices, grad_attributes,
+            _int_cotangent(faces), grad_shader_inputs)
+
+
+_deferred_core.defvjp(_deferred_fwd, _deferred_bwd)
+
+
+def rasterise_batch_deferred(background_attributes, vertices,
+                             vertex_attributes, faces, shader_fn,
+                             shader_additional_inputs=(), backend=None):
+    """Rasterises a G-buffer of vertex attributes, then shades it per pixel.
+
+    Equivalent to ``shader_fn(rasterise_batch(background_attributes, vertices,
+    vertex_attributes, faces), *shader_additional_inputs)`` but with gradients
+    that correctly account for how the approximate rasteriser gradients
+    interact with the shader (see module docstring and
+    dirt/rasterise_ops.py:260-333).
+
+    ``shader_fn`` takes the batched G-buffer [batch, height, width, attrs] and
+    the values of ``shader_additional_inputs``, and returns the final pixels
+    [batch, height, width, channels].  Any non-constant tensor the shader uses
+    must be passed via ``shader_additional_inputs`` for its gradient to be
+    correct.
+    """
+    background_attributes = jnp.asarray(background_attributes, jnp.float32)
+    vertices = jnp.asarray(vertices, jnp.float32)
+    vertex_attributes = jnp.asarray(vertex_attributes, jnp.float32)
+    faces = jnp.asarray(faces, jnp.int32)
+    shader_inputs = tuple(jnp.asarray(s) for s in shader_additional_inputs)
+    return _deferred_core(shader_fn, background_attributes, vertices,
+                          vertex_attributes, faces, backend, shader_inputs)
+
+
+def rasterise_deferred(background_attributes, vertices, vertex_attributes,
+                       faces, shader_fn, shader_additional_inputs=(),
+                       backend=None):
+    """Single-image deferred shading; see ``rasterise_batch_deferred``.
+
+    ``shader_fn`` here takes an *unbatched* G-buffer [height, width, attrs],
+    as in the reference (dirt/rasterise_ops.py:260-310).
+    """
+    batched_shader = lambda gbuffer, *inputs: shader_fn(gbuffer[0], *inputs)[None]
+    return rasterise_batch_deferred(
+        jnp.asarray(background_attributes, jnp.float32)[None],
+        jnp.asarray(vertices, jnp.float32)[None],
+        jnp.asarray(vertex_attributes, jnp.float32)[None],
+        jnp.asarray(faces, jnp.int32)[None],
+        batched_shader, shader_additional_inputs, backend)[0]
