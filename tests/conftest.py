@@ -21,6 +21,6 @@ if "xla_force_host_platform_device_count" not in _flags:
 # Persistent compilation cache: repeated test runs skip XLA recompilation.
 import jax  # noqa: E402  (must come after the env setup above)
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/dirt_tpu_jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/tmp/dirt_tpu_jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
