@@ -1,0 +1,102 @@
+"""Benchmark: batched 256x256 rasterisation, forward + backward, per chip.
+
+The headline metric from BASELINE.json: frames/sec/chip for batched 256^2
+rasterise fwd+bwd on a Gouraud-shaded mesh.  The reference publishes no
+numbers (BASELINE.md), so this harness *establishes* the baseline; the value
+recorded by the driver in BENCH_r{N}.json tracks round-over-round progress.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+
+Environment knobs:
+  DIRT_BENCH_BATCH / DIRT_BENCH_RES / DIRT_BENCH_SEGMENTS / DIRT_BENCH_ITERS
+  DIRT_BENCH_BACKEND (default: auto -> pallas on TPU)
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import dirt_tpu
+from dirt_tpu import matrices
+from dirt_tpu.utils import meshes
+
+# Throughput of a V100 running the reference at this config is the north-star
+# comparison (BASELINE.json); no published number exists, so vs_baseline is
+# reported against this locally-measured round-1 anchor once recorded.
+ROUND1_ANCHOR = None  # frames/sec/chip measured in round 1; see BENCH_r1.json
+
+
+def build_scene(batch, resolution, segments):
+    rng = np.random.RandomState(0)
+    vertices, faces = meshes.make_cylinder(0.5, 1.0, 0.1, 0.2, segments)
+    num_vertices = vertices.shape[0]
+    homogeneous = np.concatenate(
+        [vertices, np.ones((num_vertices, 1), np.float32)], axis=1)
+
+    view = matrices.compose(
+        matrices.translation(jnp.asarray([0., 0., -3.0])),
+        matrices.rodrigues(jnp.asarray([-0.4, 0., 0.])))
+    projection = matrices.perspective_projection(
+        near=0.1, far=20., right=0.25, aspect=1.)
+
+    rotations = matrices.rodrigues(
+        jnp.asarray(rng.uniform(-1, 1, size=(batch, 3)).astype(np.float32)))
+    clip = jnp.einsum('vi,bij->bvj', jnp.asarray(homogeneous),
+                      rotations) @ view @ projection
+
+    colors = jnp.asarray(
+        rng.uniform(size=(batch, num_vertices, 3)).astype(np.float32))
+    background = jnp.asarray(
+        rng.uniform(size=(batch, resolution, resolution, 3)).astype(np.float32))
+    faces_b = jnp.broadcast_to(
+        jnp.asarray(faces), (batch,) + faces.shape)
+    weights = jnp.asarray(
+        rng.uniform(size=(batch, resolution, resolution, 3)).astype(np.float32))
+    return background, clip, colors, faces_b, weights
+
+
+def main():
+    batch = int(os.environ.get("DIRT_BENCH_BATCH", "16"))
+    resolution = int(os.environ.get("DIRT_BENCH_RES", "256"))
+    segments = int(os.environ.get("DIRT_BENCH_SEGMENTS", "64"))
+    iters = int(os.environ.get("DIRT_BENCH_ITERS", "20"))
+    backend = os.environ.get("DIRT_BENCH_BACKEND") or None
+
+    background, clip, colors, faces, weights = build_scene(
+        batch, resolution, segments)
+
+    def loss(clip_v, colors_v, background_v):
+        pixels = dirt_tpu.rasterise_batch(
+            background_v, clip_v, colors_v, faces, backend=backend)
+        return jnp.sum(pixels * weights)
+
+    step = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+
+    # Warm up / compile.
+    out = step(clip, colors, background)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(clip, colors, background)
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - t0
+
+    frames_per_sec = batch * iters / elapsed
+    vs_baseline = (frames_per_sec / ROUND1_ANCHOR) if ROUND1_ANCHOR else 1.0
+    print(json.dumps({
+        "metric": f"rasterise_fwd_bwd_{resolution}x{resolution}_b{batch}"
+                  f"_f{segments * 8}",
+        "value": round(frames_per_sec, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(vs_baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
