@@ -38,10 +38,12 @@ from jax.experimental.pallas import tpu as pltpu
 from . import geometry, reference
 
 # Tile shape: lanes want 128; 32 sublanes keeps depth+index buffers at 32 KB
-# and amortises per-face work over 4 VPU registers of pixels.
-TILE_H = 32
-TILE_W = 128
-CHUNK = 128          # faces per grid step
+# and amortises per-face work over 4 VPU registers of pixels.  Env-overridable
+# for tuning (read once at import).
+import os as _os
+TILE_H = int(_os.environ.get("DIRT_TPU_TILE_H", 32))
+TILE_W = int(_os.environ.get("DIRT_TPU_TILE_W", 128))
+CHUNK = int(_os.environ.get("DIRT_TPU_CHUNK", 128))   # faces per grid step
 _D = 24              # packed floats per face (see _pack_faces layout)
 _BIG = np.int32(1 << 30)
 
@@ -141,7 +143,9 @@ def _pack_faces(vertices, faces, height, width, num_chunks):
         jnp.min(face_data[..., 22], axis=1).astype(jnp.int32),
         jnp.max(face_data[..., 23], axis=1).astype(jnp.int32),
     ], axis=1)
-    return face_data, chunk_meta
+    # Trailing singleton keeps the TPU block shape (1, 1, 1, 4) legal: the
+    # last two block dims must equal the array dims.
+    return face_data, chunk_meta[:, None, :]
 
 
 def _raster_kernel(meta_ref, face_ref, depth_ref, index_ref, *, height, width,
@@ -156,10 +160,10 @@ def _raster_kernel(meta_ref, face_ref, depth_ref, index_ref, *, height, width,
         depth_ref[0] = jnp.full((TILE_H, TILE_W), 1.0, jnp.float32)
         index_ref[0] = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
 
-    chunk_r0 = meta_ref[0, 0, 0]
-    chunk_r1 = meta_ref[0, 0, 1]
-    chunk_c0 = meta_ref[0, 0, 2]
-    chunk_c1 = meta_ref[0, 0, 3]
+    chunk_r0 = meta_ref[0, 0, 0, 0]
+    chunk_r1 = meta_ref[0, 0, 0, 1]
+    chunk_c0 = meta_ref[0, 0, 0, 2]
+    chunk_c1 = meta_ref[0, 0, 0, 3]
     chunk_hits_tile = ((chunk_r0 <= tile_row + TILE_H - 1)
                        & (chunk_r1 >= tile_row)
                        & (chunk_c0 <= tile_col + TILE_W - 1)
@@ -251,8 +255,8 @@ def visibility_pallas(vertices, faces, height, width, interpret=None):
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, 4),
-                         lambda b, ty, tx, c: (b, c, 0),
+            pl.BlockSpec((1, 1, 1, 4),
+                         lambda b, ty, tx, c: (b, c, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, CHUNK, _D),
                          lambda b, ty, tx, c: (b, c, 0, 0),

@@ -1,5 +1,5 @@
 """Utilities: procedural meshes, texture sampling."""
 
-from . import meshes, textures
+from . import meshes, profiling, textures
 
-__all__ = ["meshes", "textures"]
+__all__ = ["meshes", "profiling", "textures"]
