@@ -75,19 +75,32 @@ def main():
             background_v, clip_v, colors_v, faces, backend=backend)
         return jnp.sum(pixels * weights)
 
-    step = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+    grad_fn = jax.grad(loss, argnums=(0, 1, 2))
 
-    # Warm up / compile.
-    out = step(clip, colors, background)
-    jax.block_until_ready(out)
+    # Iterate ON DEVICE inside one program: per-call host<->device dispatch
+    # (especially through a remote-execution relay) would otherwise swamp the
+    # sub-millisecond device time.  The tiny grad feedback creates a data
+    # dependence so the scan cannot be collapsed; timing two scan lengths and
+    # taking the slope removes the constant launch/transfer overhead.
+    def make_runner(length):
+        def body(clip_c, _):
+            g_clip, _, _ = grad_fn(clip_c, colors, background)
+            return clip_c + 1e-20 * g_clip, ()
+        return jax.jit(lambda c: jax.lax.scan(body, c, None, length=length)[0])
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step(clip, colors, background)
-    jax.block_until_ready(out)
-    elapsed = time.perf_counter() - t0
+    short, long_ = make_runner(iters), make_runner(iters * 3)
 
-    frames_per_sec = batch * iters / elapsed
+    def timed(fn):
+        out = fn(clip)
+        jax.block_until_ready(out)          # warm up / compile
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(clip))
+        return time.perf_counter() - t0
+
+    t_short = timed(short)
+    t_long = timed(long_)
+    per_step = max((t_long - t_short) / (2 * iters), 1e-9)
+    frames_per_sec = batch / per_step
     vs_baseline = (frames_per_sec / ROUND1_ANCHOR) if ROUND1_ANCHOR else 1.0
     print(json.dumps({
         "metric": f"rasterise_fwd_bwd_{resolution}x{resolution}_b{batch}"

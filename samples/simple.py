@@ -1,60 +1,52 @@
-"""Direct (Gouraud) shading sample: a rotating cube under directional light.
+"""Direct (Gouraud) shading sample, plus a taste of inverse rendering.
 
-TPU-native port of the reference's samples/simple.py pipeline (the canonical
-end-to-end model, SURVEY.md section 3.4): object -> world (rodrigues) ->
-vertex normals -> camera (compose) -> clip (perspective) -> per-vertex
-diffuse -> rasterise.
+Covers the canonical end-to-end pipeline (SURVEY.md section 3.4): object ->
+world -> normals -> camera -> clip -> per-vertex diffuse -> rasterise.  After
+rendering the image it also runs a short gradient-descent loop recovering the
+cube's rotation from the image -- the use case the differentiable gradients
+exist for.
 """
 
+import jax
 import jax.numpy as jnp
 
 import dirt_tpu
-from dirt_tpu import lighting, matrices
-from dirt_tpu.utils import meshes
-from common import save_ppm
+from dirt_tpu import lighting
+from common import cube_scene, save_ppm
 
-FRAME_WIDTH, FRAME_HEIGHT = 640, 480
+WIDTH, HEIGHT = 640, 480
+LIGHT_DIRECTION = jnp.asarray([1., 0., 0.])
+
+
+def render(rotation, width=WIDTH, height=HEIGHT):
+    clip, faces, _, normals, _ = cube_scene(rotation, width, height)
+    albedo = jnp.ones_like(normals)
+    lit = lighting.diffuse_directional(
+        normals, albedo, LIGHT_DIRECTION,
+        light_color=jnp.asarray([1., 1., 1.])) * 0.8 + albedo * 0.2
+    return dirt_tpu.rasterise(
+        jnp.zeros([height, width, 3]), clip, lit, faces)
 
 
 def main():
-    cube_vertices_object, cube_faces = meshes.build_cube()
-    cube_vertices_object, cube_faces = lighting.split_vertices_by_face(
-        jnp.asarray(cube_vertices_object), jnp.asarray(cube_faces))
-    cube_vertex_colors = jnp.ones_like(cube_vertices_object)
+    save_ppm('simple.ppm', render(jnp.asarray([0., 0.5, 0.])))
 
-    cube_vertices_object = jnp.concatenate([
-        cube_vertices_object,
-        jnp.ones_like(cube_vertices_object[:, -1:]),
-    ], axis=1)
+    # Inverse rendering: recover the yaw angle from the image (at a smaller
+    # resolution to keep the demo quick).
+    target_angle = 0.5
+    render_angle = lambda a, *s: render(jnp.stack([0. * a, a, 0. * a]), *s)
+    target = render_angle(jnp.asarray(target_angle), 160, 120)
+    loss = jax.jit(jax.value_and_grad(
+        lambda a: jnp.mean((render_angle(a, 160, 120) - target) ** 2)))
 
-    cube_vertices_world = cube_vertices_object @ matrices.rodrigues(
-        jnp.asarray([0., 0.5, 0.]))
-    cube_normals_world = lighting.vertex_normals_pre_split(
-        cube_vertices_world, cube_faces)
-
-    view_matrix = matrices.compose(
-        matrices.translation(jnp.asarray([0., -1.5, -3.5])),
-        matrices.rodrigues(jnp.asarray([-0.3, 0., 0.])))
-    projection_matrix = matrices.perspective_projection(
-        near=0.1, far=20., right=0.1,
-        aspect=float(FRAME_HEIGHT) / FRAME_WIDTH)
-    cube_vertices_clip = (
-        cube_vertices_world @ view_matrix @ projection_matrix)
-
-    vertex_colors_lit = lighting.diffuse_directional(
-        cube_normals_world, cube_vertex_colors,
-        light_direction=jnp.asarray([1., 0., 0.]),
-        light_color=jnp.asarray([1., 1., 1.]),
-    ) * 0.8 + cube_vertex_colors * 0.2
-
-    pixels = dirt_tpu.rasterise(
-        vertices=cube_vertices_clip,
-        faces=cube_faces,
-        vertex_colors=vertex_colors_lit,
-        background=jnp.zeros([FRAME_HEIGHT, FRAME_WIDTH, 3]),
-        width=FRAME_WIDTH, height=FRAME_HEIGHT, channels=3)
-
-    save_ppm('simple.ppm', pixels)
+    angle = jnp.asarray(0.25)
+    for step in range(40):
+        value, grad = loss(angle)
+        angle = angle - 4.0 * grad
+        if step % 5 == 0:
+            print(f'step {step:2d} loss {float(value):.6f} '
+                  f'angle {float(angle):.4f}')
+    print(f'recovered angle {float(angle):.4f}, target {target_angle}')
 
 
 if __name__ == '__main__':

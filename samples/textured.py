@@ -1,14 +1,14 @@
-"""Textured deferred-shading sample: UV-mapped procedural texture on a cube.
+"""Textured deferred-shading sample with texture-recovery inverse rendering.
 
-TPU-native port of the reference's samples/textured.py: rasterise a 6-channel
-G-buffer (mask, UVs, normals), sample a texture with bilinear filtering in
-the shader, and add diffuse + ambient lighting.  The reference loads a cat
-photo (samples/cat.jpg); to keep this repo dependency-free we synthesise a
-checkerboard+gradient texture instead -- gradients flow through texture and
-UVs identically.
+Rasterises a 6-channel G-buffer (mask, UVs, normals), samples a procedural
+texture with bilinear filtering inside the shader, lights it, and then -- the
+part the reference's textured sample doesn't show -- recovers an unknown
+texture from the rendered image by descending through the UV/texture-sampling
+gradients.
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 import dirt_tpu
@@ -16,104 +16,96 @@ from dirt_tpu import lighting, matrices
 from dirt_tpu.utils import textures
 from common import save_ppm
 
-FRAME_WIDTH, FRAME_HEIGHT = 640, 480
+WIDTH, HEIGHT = 640, 480
 
 
-def build_textured_cube():
+def icosahedron_like_prism():
+    """A UV-mapped hexagonal prism (distinct geometry from the cube demos)."""
+    segments = 6
+    angles = np.linspace(0, 2 * np.pi, segments, endpoint=False)
+    top = np.stack([np.cos(angles), np.ones(segments), np.sin(angles)], 1)
+    bottom = top * [1., -1., 1.]
     vertices, uvs, faces = [], [], []
-
-    def add_quad(quad_vertices, quad_uvs):
-        index = len(vertices)
-        faces.extend([[index + 2, index + 1, index],
-                      [index, index + 3, index + 2]])
-        vertices.extend(quad_vertices)
-        uvs.extend(quad_uvs)
-
-    add_quad([[-1, -1, 1], [1, -1, 1], [1, 1, 1], [-1, 1, 1]],
-             [[0.1, 0.9], [0.9, 0.9], [0.9, 0.1], [0.1, 0.1]])   # front
-    add_quad([[-1, -1, -1], [1, -1, -1], [1, 1, -1], [-1, 1, -1]],
-             [[1, 1], [0, 1], [0, 0], [1, 0]])                   # back
-    add_quad([[1, 1, 1], [1, 1, -1], [1, -1, -1], [1, -1, 1]],
-             [[0.3, 0.25], [0.6, 0.25], [0.6, 0.55], [0.3, 0.55]])  # right
-    add_quad([[-1, 1, 1], [-1, 1, -1], [-1, -1, -1], [-1, -1, 1]],
-             [[0.4, 0.4], [0.5, 0.4], [0.5, 0.5], [0.4, 0.5]])   # left
-    add_quad([[-1, 1, -1], [1, 1, -1], [1, 1, 1], [-1, 1, 1]],
-             [[0, 0], [2, 0], [2, 2], [0, 2]])                   # top
-    add_quad([[-1, -1, -1], [1, -1, -1], [1, -1, 1], [-1, -1, 1]],
-             [[0, 0], [2, 0], [2, 2], [0, 2]])                   # bottom
-
+    for i in range(segments):
+        j = (i + 1) % segments
+        base = len(vertices)
+        u0, u1 = i / segments, (i + 1) / segments
+        vertices += [top[i], top[j], bottom[j], bottom[i]]
+        uvs += [[u0 * 4, 0.], [u1 * 4, 0.], [u1 * 4, 1.], [u0 * 4, 1.]]
+        faces += [[base, base + 1, base + 2], [base, base + 2, base + 3]]
     return (np.asarray(vertices, np.float32), np.asarray(uvs, np.float32),
             np.asarray(faces, np.int32))
 
 
-def procedural_texture(size=256):
+def stripes_texture(size=128):
     y, x = np.mgrid[0:size, 0:size].astype(np.float32) / size
-    checker = ((np.floor(x * 8) + np.floor(y * 8)) % 2)
-    r = 0.2 + 0.6 * checker
-    g = 0.3 + 0.5 * x
-    b = 0.3 + 0.5 * y
-    return np.stack([r, g, b], axis=-1).astype(np.float32)
+    return np.stack([
+        0.5 + 0.5 * np.sin(x * 20),
+        0.5 + 0.5 * np.cos(y * 14),
+        0.4 + 0.4 * ((np.floor(x * 6) + np.floor(y * 6)) % 2),
+    ], axis=-1).astype(np.float32)
+
+
+def scene_clip_vertices(vertices_obj):
+    homogeneous = jnp.concatenate(
+        [jnp.asarray(vertices_obj), jnp.ones((len(vertices_obj), 1))], axis=1)
+    world = homogeneous @ matrices.rodrigues(jnp.asarray([0.2, 0.7, 0.]))
+    view = matrices.compose(
+        matrices.translation(jnp.asarray([0., -0.4, -4.0])),
+        matrices.rodrigues(jnp.asarray([-0.35, 0., 0.])))
+    projection = matrices.perspective_projection(
+        near=0.1, far=20., right=0.1, aspect=float(HEIGHT) / WIDTH)
+    return world, world @ view @ projection
+
+
+def render(texture, width=WIDTH, height=HEIGHT):
+    vertices_obj, uvs, faces = icosahedron_like_prism()
+    world, clip = scene_clip_vertices(vertices_obj)
+    normals = lighting.vertex_normals(world[:, :3], jnp.asarray(faces))
+
+    def shader_fn(gbuffer, tex, light_direction):
+        mask = gbuffer[:, :, :1]
+        uv = gbuffer[:, :, 1:3]
+        n = gbuffer[:, :, 3:]
+        base = textures.sample_texture(
+            tex, textures.uvs_to_pixel_indices(uv, jnp.asarray(tex.shape[:2])))
+        lit = lighting.diffuse_directional(
+            n.reshape(-1, 3), base.reshape(-1, 3),
+            light_direction, light_color=jnp.asarray([0.6, 0.6, 0.6]),
+            double_sided=True).reshape(height, width, 3)
+        return (lit + base * 0.4) * mask + jnp.asarray([0., 0., 0.3]) * (1. - mask)
+
+    light = jnp.asarray([1., -0.3, -0.5])
+    light = light / jnp.linalg.norm(light)
+    return dirt_tpu.rasterise_deferred(
+        background_attributes=jnp.zeros([height, width, 6]),
+        vertices=clip,
+        vertex_attributes=jnp.concatenate([
+            jnp.ones((len(vertices_obj), 1)), jnp.asarray(uvs), normals,
+        ], axis=1),
+        faces=jnp.asarray(faces),
+        shader_fn=shader_fn,
+        shader_additional_inputs=[texture, light])
 
 
 def main():
-    cube_vertices_object, cube_uvs, cube_faces = build_textured_cube()
-    texture = jnp.asarray(procedural_texture())
+    true_texture = jnp.asarray(stripes_texture())
+    save_ppm('textured.ppm', render(true_texture))
 
-    cube_vertices_object = jnp.concatenate([
-        jnp.asarray(cube_vertices_object),
-        jnp.ones((cube_vertices_object.shape[0], 1)),
-    ], axis=1)
-
-    cube_vertices_world = cube_vertices_object @ matrices.rodrigues(
-        jnp.asarray([0., 0.6, 0.]))
-    cube_normals_world = lighting.vertex_normals(
-        cube_vertices_world, jnp.asarray(cube_faces))
-
-    view_matrix = matrices.compose(
-        matrices.translation(jnp.asarray([0., -2., -3.2])),
-        matrices.rodrigues(jnp.asarray([-0.5, 0., 0.])))
-    projection_matrix = matrices.perspective_projection(
-        near=0.1, far=20., right=0.1,
-        aspect=float(FRAME_HEIGHT) / FRAME_WIDTH)
-    cube_vertices_clip = (
-        cube_vertices_world @ view_matrix @ projection_matrix)
-
-    def shader_fn(gbuffer, texture_in, light_direction):
-        mask = gbuffer[:, :, :1]
-        uvs = gbuffer[:, :, 1:3]
-        normals = gbuffer[:, :, 3:]
-
-        unlit_colors = textures.sample_texture(
-            texture_in,
-            textures.uvs_to_pixel_indices(
-                uvs, jnp.asarray(texture_in.shape[:2])))
-
-        ambient = unlit_colors * jnp.asarray([0.4, 0.4, 0.4])
-        diffuse = lighting.diffuse_directional(
-            normals.reshape(-1, 3), unlit_colors.reshape(-1, 3),
-            light_direction, light_color=jnp.asarray([0.6, 0.6, 0.6]),
-            double_sided=True,
-        ).reshape(FRAME_HEIGHT, FRAME_WIDTH, 3)
-
-        background_color = jnp.asarray([0., 0., 0.3])
-        return (diffuse + ambient) * mask + background_color * (1. - mask)
-
-    light_direction = jnp.asarray([1., -0.3, -0.5])
-    light_direction = light_direction / jnp.linalg.norm(light_direction)
-
-    pixels = dirt_tpu.rasterise_deferred(
-        vertices=cube_vertices_clip,
-        vertex_attributes=jnp.concatenate([
-            jnp.ones_like(cube_vertices_object[:, :1]),  # mask
-            jnp.asarray(cube_uvs),                        # texture coords
-            cube_normals_world,                           # normals
-        ], axis=1),
-        faces=jnp.asarray(cube_faces),
-        background_attributes=jnp.zeros([FRAME_HEIGHT, FRAME_WIDTH, 6]),
-        shader_fn=shader_fn,
-        shader_additional_inputs=[texture, light_direction])
-
-    save_ppm('textured.ppm', pixels)
+    # Texture recovery: start from grey, descend through the bilinear
+    # sampling + UV interpolation gradients.
+    target = render(true_texture, 160, 120)
+    loss = jax.jit(jax.value_and_grad(
+        lambda t: jnp.mean((render(t, 160, 120) - target) ** 2)))
+    texture = jnp.full_like(true_texture, 0.5)
+    for step in range(15):
+        value, grad = loss(texture)
+        texture = texture - 2000.0 * grad
+        if step % 5 == 0:
+            print(f'step {step:2d} loss {float(value):.6f}')
+    visible_error = float(jnp.abs(texture - true_texture).mean())
+    print(f'mean texel error after fit: {visible_error:.4f}')
+    save_ppm('textured_recovered.ppm', render(texture))
 
 
 if __name__ == '__main__':
