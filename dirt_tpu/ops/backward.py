@@ -114,9 +114,14 @@ def _dilate(indices, barycentric, clip_w, scharr_x, scharr_y):
     n_w = jnp.stack([_shift(clip_w, ox, oy, jnp.inf) for ox, oy in offs])
 
     def attempt(choice, idx_cur, bary_cur, w_cur, already):
-        sel = lambda stack: jnp.take_along_axis(
-            stack, choice[None, ..., None] if stack.ndim == 4
-            else choice[None, ...], axis=0)[0]
+        # Pure vector selects (TPU-friendly; a take_along_axis here would be
+        # a 3.1M-row gather).
+        def sel(stack):
+            c = choice[..., None] if stack.ndim == 4 else choice
+            out = stack[0]
+            for k in range(1, 4):
+                out = jnp.where(c == k, stack[k], out)
+            return out
         cand_idx = sel(n_idx)
         cand_bary = sel(n_bary)
         cand_w = sel(n_w)

@@ -20,11 +20,17 @@ import jax.numpy as jnp
 from . import reference
 
 
+def on_accelerator():
+    """True when the default jax backend is a TPU (including the 'axon'
+    relay platform, whose backend name is not literally 'tpu')."""
+    return jax.default_backend() != "cpu"
+
+
 def default_backend():
     env = os.environ.get("DIRT_TPU_BACKEND", "auto")
     if env != "auto":
         return env
-    return "pallas" if jax.default_backend() == "tpu" else "reference"
+    return "pallas" if on_accelerator() else "reference"
 
 
 def forward_batch(background, vertices, vertex_colors, faces, backend=None):

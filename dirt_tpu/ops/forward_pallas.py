@@ -1,33 +1,29 @@
-"""Tile-binned Pallas TPU rasterisation kernel.
+"""Fused tile-binned Pallas TPU rasterisation kernel (visibility + shading).
 
 This is the TPU-native replacement for the role OpenGL hardware plays in the
-reference (triangle setup units + raster units + depth test,
-csrc/rasterise_egl.cpp:362-380): a `pl.pallas_call` over a
-(batch, tile_row, tile_col, face_chunk) grid that z-buffers every face chunk
-against every image tile held resident in VMEM.
+reference (triangle setup + raster units + depth test + attribute
+interpolation, csrc/rasterise_egl.cpp:362-380, csrc/shaders.cpp:16-43): one
+`pl.pallas_call` over a (batch, tile_row, tile_col, 2 * face_chunk) grid.
 
-Pipeline:
-  1. XLA precompute (`_pack_faces`): per-face edge coefficients/z/w/accept
-     from ops/geometry.py, conservative pixel bounding boxes, Morton-order
-     spatial sort (so face chunks are spatially coherent and the per-chunk
-     bounding boxes stay tight), packing into a flat [chunks, K, 24] table.
-  2. Pallas kernel (`_raster_kernel`): per (tile, chunk) step, skip the chunk
-     if its bbox misses the tile; otherwise loop its K faces, skipping faces
-     whose bboxes miss the tile, and for the rest evaluate homogeneous edge
-     functions over the whole tile on the VPU, depth-testing against the
-     resident tile buffers.  Depth ties resolve to the smallest *original*
-     face index, which reproduces GL draw order regardless of the sort.
-  3. Shared XLA postprocess (ops/reference.shade_pixels): gathers the winning
-     faces' attributes, interpolates perspective-correctly, composites over
-     the background and emits the aux buffers (barycentrics / clip-w /
-     index triples) as custom_vjp residuals.
+Phase 1 (first num_chunks steps per tile): z-buffered visibility.  Each step
+loops one Morton-sorted face chunk against the resident VMEM depth/winner
+tiles, with chunk- and face-level bounding-box skips.  Depth ties resolve to
+the smallest *original* face index (GL draw order).
 
-The per-pixel binning/atlas bookkeeping of the reference (framebuffer atlas
-over sqrt(batch) frames, rasterise_egl.cpp:326-334) is replaced by the grid's
-batch dimension: each image's tiles live in VMEM only while being produced.
+Phase 2 (second num_chunks steps): face-major shading.  Each face blends its
+perspective-correct interpolated attributes into the pixel tile wherever the
+winner map points at it, and writes the aux buffers (barycentrics, clip-w,
+vertex-index triple) the backward pass consumes.  Corner attributes ride in
+the per-face SMEM table (pre-gathered in XLA at face count, not pixel count),
+so the hot path performs NO pixel-indexed gathers -- an XLA gather-based
+shading postprocess measured ~10x slower on TPU v5e.
+
+The framebuffer-atlas bookkeeping of the reference (rasterise_egl.cpp:326-334)
+is replaced by the grid's batch dimension.
 """
 
 import functools
+import os as _os
 
 import numpy as np
 import jax
@@ -37,15 +33,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import geometry, reference
 
-# Tile shape: lanes want 128; 32 sublanes keeps depth+index buffers at 32 KB
-# and amortises per-face work over 4 VPU registers of pixels.  Env-overridable
-# for tuning (read once at import).
-import os as _os
 TILE_H = int(_os.environ.get("DIRT_TPU_TILE_H", 32))
 TILE_W = int(_os.environ.get("DIRT_TPU_TILE_W", 128))
 CHUNK = int(_os.environ.get("DIRT_TPU_CHUNK", 128))   # faces per grid step
-_D = 24              # packed floats per face (see _pack_faces layout)
+_BASE = 27           # packed floats per face before corner attributes
 _BIG = np.int32(1 << 30)
+
+# Face-table layout (see _pack_faces):
+#   [0:9]   edge coefficients e (row-major 3x3)
+#   [9:12]  corner clip z        [12:15] corner clip w
+#   [15:18] fill-rule accept     [18]    valid flag
+#   [19]    original face index  [20:24] pixel bbox (r0, r1, c0, c1)
+#   [24:27] corner vertex ids    [27:27+3C] corner attributes (per corner:
+#                                corner0[0..C), corner1[0..C), corner2[0..C))
+# floats encode ints exactly below 2^24 -- the same vertex-count bound the
+# reference's float-encoded index textures impose (rasterise_grad_egl.cpp:399).
 
 
 def _cdiv(a, b):
@@ -62,32 +64,22 @@ def _part1by1(x):
     return x
 
 
-def _pack_faces(vertices, faces, height, width, num_chunks):
-    """Packs per-face raster constants for one image into the kernel layout.
+def _pack_faces(vertices, vertex_colors, faces, height, width, num_chunks):
+    """Packs per-face raster constants + corner attributes for one image.
 
     Returns:
-        face_data: [num_chunks, CHUNK, 24] float32 --
-            [0:9]   edge coefficients e (row-major 3x3)
-            [9:12]  corner clip z
-            [12:15] corner clip w
-            [15:18] fill-rule accept bits (0.0 / 1.0)
-            [18]    valid flag
-            [19]    original face index (exact in f32 below 2^24, the same
-                    bound the reference's float-encoded indices impose,
-                    rasterise_grad_egl.cpp:399-405)
-            [20:24] pixel bbox (row0, row1, col0, col1), inclusive
-        chunk_meta: [num_chunks, 4] int32 per-chunk union bbox.
+        face_data: [num_chunks, CHUNK, _BASE + 3 * C] float32 (layout above).
+        chunk_meta: [num_chunks, 1, 4] int32 per-chunk union pixel bbox.
     """
     num_faces = faces.shape[0]
+    channels = vertex_colors.shape[-1]
     setup = geometry.face_setup(vertices, faces)
 
     corners = jnp.take(vertices, faces, axis=0)          # [F, 3, 4]
     w = corners[..., 3]
     safe_w = jnp.where(w > 0, w, 1.0)
-    sx = corners[..., 0] / safe_w
-    sy = corners[..., 1] / safe_w
-    px = (sx + 1.0) * (width / 2.0)
-    py = (1.0 - sy) * (height / 2.0)
+    px = (corners[..., 0] / safe_w + 1.0) * (width / 2.0)
+    py = (1.0 - corners[..., 1] / safe_w) * (height / 2.0)
 
     # Conservative pixel bbox (+/- 1 pixel of rounding slack); faces with any
     # w <= 0 may wrap through infinity, so they get the full screen.
@@ -101,21 +93,23 @@ def _pack_faces(vertices, faces, height, width, num_chunks):
     row0 = jnp.where(unbounded, 0, jnp.clip(row0, 0, height - 1))
     row1 = jnp.where(unbounded, height - 1, jnp.clip(row1, 0, height - 1))
 
-    # Degenerate faces rasterise nothing: give them an empty bbox so they
-    # cannot enlarge chunk bboxes (the kernel also checks the valid flag).
+    # Degenerate faces rasterise nothing: empty bbox keeps them out of the
+    # chunk bboxes (the kernel also checks the valid flag).
     valid = setup.valid
     row0 = jnp.where(valid, row0, _BIG)
     col0 = jnp.where(valid, col0, _BIG)
     row1 = jnp.where(valid, row1, -1)
     col1 = jnp.where(valid, col1, -1)
 
-    # Morton-order sort on bbox-centre tile coordinates keeps chunks
-    # spatially tight; invalid faces sort to the end.
+    # Morton-order spatial sort keeps chunks tight; invalid faces sort last.
     tcx = jnp.clip((col0 + col1) // 2, 0, width - 1) // TILE_W
     tcy = jnp.clip((row0 + row1) // 2, 0, height - 1) // TILE_H
     morton = _part1by1(tcx) | (_part1by1(tcy) << 1)
     morton = jnp.where(valid, morton, jnp.int32(np.int32(0x7FFFFFFF)))
     order = jnp.argsort(morton)
+
+    corner_attrs = jnp.transpose(
+        jnp.take(vertex_colors, faces, axis=0), (0, 1, 2))  # [F, 3, C]
 
     f32 = lambda a: a.astype(jnp.float32)
     face_data = jnp.concatenate([
@@ -126,16 +120,18 @@ def _pack_faces(vertices, faces, height, width, num_chunks):
         f32(jnp.arange(num_faces, dtype=jnp.int32))[:, None],
         f32(row0)[:, None], f32(row1)[:, None],
         f32(col0)[:, None], f32(col1)[:, None],
+        f32(faces),
+        corner_attrs.reshape(num_faces, 3 * channels),
     ], axis=1)
     face_data = jnp.take(face_data, order, axis=0)
 
-    padded = num_chunks * CHUNK
-    pad_rows = padded - num_faces
-    pad_value = jnp.zeros((_D,), jnp.float32).at[20].set(float(_BIG)).at[22].set(
-        float(_BIG)).at[21].set(-1.0).at[23].set(-1.0)
+    width_d = _BASE + 3 * channels
+    pad_rows = num_chunks * CHUNK - num_faces
+    pad_value = jnp.zeros((width_d,), jnp.float32).at[20].set(
+        float(_BIG)).at[22].set(float(_BIG)).at[21].set(-1.0).at[23].set(-1.0)
     face_data = jnp.concatenate(
         [face_data, jnp.tile(pad_value[None], (pad_rows, 1))], axis=0)
-    face_data = face_data.reshape(num_chunks, CHUNK, _D)
+    face_data = face_data.reshape(num_chunks, CHUNK, width_d)
 
     chunk_meta = jnp.stack([
         jnp.min(face_data[..., 20], axis=1).astype(jnp.int32),
@@ -143,31 +139,35 @@ def _pack_faces(vertices, faces, height, width, num_chunks):
         jnp.min(face_data[..., 22], axis=1).astype(jnp.int32),
         jnp.max(face_data[..., 23], axis=1).astype(jnp.int32),
     ], axis=1)
-    # Trailing singleton keeps the TPU block shape (1, 1, 1, 4) legal: the
-    # last two block dims must equal the array dims.
     return face_data, chunk_meta[:, None, :]
 
 
-def _raster_kernel(meta_ref, face_ref, depth_ref, index_ref, *, height, width,
-                   num_chunks):
-    chunk_idx = pl.program_id(3)
+def _raster_kernel(meta_ref, face_ref, background_ref,
+                   pixels_ref, aux_ref, depth_ref, winner_ref, orig_ref,
+                   *, height, width, num_chunks, channels):
+    step = pl.program_id(3)
+    phase2 = step >= num_chunks
+    chunk_idx = jax.lax.rem(step, num_chunks)
     tile_row = pl.program_id(1) * TILE_H
     tile_col = pl.program_id(2) * TILE_W
 
-    @pl.when(chunk_idx == 0)
-    def _init():
-        # glClearDepth(1.0) equivalent; -1 marks background.
+    @pl.when(step == 0)
+    def _init_visibility():
+        # glClearDepth(1.0) equivalent; winner -1 marks background.
         depth_ref[0] = jnp.full((TILE_H, TILE_W), 1.0, jnp.float32)
-        index_ref[0] = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
+        winner_ref[0] = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
+        orig_ref[0] = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
 
-    chunk_r0 = meta_ref[0, 0, 0, 0]
-    chunk_r1 = meta_ref[0, 0, 0, 1]
-    chunk_c0 = meta_ref[0, 0, 0, 2]
-    chunk_c1 = meta_ref[0, 0, 0, 3]
-    chunk_hits_tile = ((chunk_r0 <= tile_row + TILE_H - 1)
-                       & (chunk_r1 >= tile_row)
-                       & (chunk_c0 <= tile_col + TILE_W - 1)
-                       & (chunk_c1 >= tile_col))
+    @pl.when(step == num_chunks)
+    def _init_shading():
+        pixels_ref[0] = background_ref[0]
+        aux = jnp.full((TILE_H, TILE_W, 8), -1.0, jnp.float32)
+        aux_ref[0] = aux.at[..., 3].set(jnp.inf)   # clip-w clears to +inf
+
+    chunk_hits_tile = ((meta_ref[0, 0, 0, 0] <= tile_row + TILE_H - 1)
+                       & (meta_ref[0, 0, 0, 1] >= tile_row)
+                       & (meta_ref[0, 0, 0, 2] <= tile_col + TILE_W - 1)
+                       & (meta_ref[0, 0, 0, 3] >= tile_col))
 
     @pl.when(chunk_hits_tile)
     def _process_chunk():
@@ -177,23 +177,25 @@ def _raster_kernel(meta_ref, face_ref, depth_ref, index_ref, *, height, width,
         xg = ((tile_col + cols).astype(jnp.float32) + 0.5) * (2.0 / width) - 1.0
         yg = 1.0 - ((tile_row + rows).astype(jnp.float32) + 0.5) * (2.0 / height)
 
-        def visit_face(j, _):
-            face_r0 = face_ref[0, 0, j, 20]
-            face_r1 = face_ref[0, 0, j, 21]
-            face_c0 = face_ref[0, 0, j, 22]
-            face_c1 = face_ref[0, 0, j, 23]
-            face_hits_tile = (
-                (face_r0 <= tile_row + TILE_H - 1) & (face_r1 >= tile_row)
-                & (face_c0 <= tile_col + TILE_W - 1) & (face_c1 >= tile_col))
+        def edges(j):
+            E0 = (face_ref[0, 0, j, 0] * xg + face_ref[0, 0, j, 1] * yg
+                  + face_ref[0, 0, j, 2])
+            E1 = (face_ref[0, 0, j, 3] * xg + face_ref[0, 0, j, 4] * yg
+                  + face_ref[0, 0, j, 5])
+            E2 = (face_ref[0, 0, j, 6] * xg + face_ref[0, 0, j, 7] * yg
+                  + face_ref[0, 0, j, 8])
+            return E0, E1, E2
 
-            @pl.when(face_hits_tile)
-            def _raster_face():
-                E0 = (face_ref[0, 0, j, 0] * xg + face_ref[0, 0, j, 1] * yg
-                      + face_ref[0, 0, j, 2])
-                E1 = (face_ref[0, 0, j, 3] * xg + face_ref[0, 0, j, 4] * yg
-                      + face_ref[0, 0, j, 5])
-                E2 = (face_ref[0, 0, j, 6] * xg + face_ref[0, 0, j, 7] * yg
-                      + face_ref[0, 0, j, 8])
+        def face_hits_tile(j):
+            return ((face_ref[0, 0, j, 20] <= tile_row + TILE_H - 1)
+                    & (face_ref[0, 0, j, 21] >= tile_row)
+                    & (face_ref[0, 0, j, 22] <= tile_col + TILE_W - 1)
+                    & (face_ref[0, 0, j, 23] >= tile_col))
+
+        def visibility_face(j, _):
+            @pl.when(face_hits_tile(j))
+            def _():
+                E0, E1, E2 = edges(j)
                 s_z = (E0 * face_ref[0, 0, j, 9] + E1 * face_ref[0, 0, j, 10]
                        + E2 * face_ref[0, 0, j, 11])
                 s_w = (E0 * face_ref[0, 0, j, 12] + E1 * face_ref[0, 0, j, 13]
@@ -212,57 +214,129 @@ def _raster_kernel(meta_ref, face_ref, depth_ref, index_ref, *, height, width,
                 covered = (cov_p | cov_n) & (face_ref[0, 0, j, 18] != 0.0)
                 depth = jnp.where(covered, s_z / s_w, jnp.inf)
 
-                face_index = face_ref[0, 0, j, 19].astype(jnp.int32)
+                orig_index = face_ref[0, 0, j, 19].astype(jnp.int32)
                 best_depth = depth_ref[0]
-                best_index = index_ref[0]
+                best_orig = orig_ref[0]
                 # GL_LESS + draw-order ties == lexicographic (depth, index).
                 better = covered & (
                     (depth < best_depth)
-                    | ((depth == best_depth) & (face_index < best_index)))
+                    | ((depth == best_depth) & (orig_index < best_orig)))
                 depth_ref[0] = jnp.where(better, depth, best_depth)
-                index_ref[0] = jnp.where(better, face_index, best_index)
-
+                orig_ref[0] = jnp.where(better, orig_index, best_orig)
+                winner_ref[0] = jnp.where(
+                    better, chunk_idx * CHUNK + j, winner_ref[0])
             return 0
 
-        jax.lax.fori_loop(0, CHUNK, visit_face, 0)
+        def shading_face(j, _):
+            @pl.when(face_hits_tile(j))
+            def _():
+                mask = winner_ref[0] == chunk_idx * CHUNK + j
+                E0, E1, E2 = edges(j)
+                s_e = (E0 + E1) + E2
+                denom = jnp.where(s_e == 0, 1.0, s_e)
+                s_w = (E0 * face_ref[0, 0, j, 12] + E1 * face_ref[0, 0, j, 13]
+                       + E2 * face_ref[0, 0, j, 14])
+
+                pix = pixels_ref[0]
+                for ch in range(channels):
+                    num = ((E0 * face_ref[0, 0, j, _BASE + ch]
+                            + E1 * face_ref[0, 0, j, _BASE + channels + ch])
+                           + E2 * face_ref[0, 0, j, _BASE + 2 * channels + ch])
+                    pix = pix.at[..., ch].set(
+                        jnp.where(mask, num / denom, pix[..., ch]))
+                pixels_ref[0] = pix
+
+                aux = aux_ref[0]
+                aux = aux.at[..., 0].set(jnp.where(mask, E0 / denom, aux[..., 0]))
+                aux = aux.at[..., 1].set(jnp.where(mask, E1 / denom, aux[..., 1]))
+                aux = aux.at[..., 2].set(jnp.where(mask, E2 / denom, aux[..., 2]))
+                aux = aux.at[..., 3].set(jnp.where(mask, s_w / denom, aux[..., 3]))
+                for k in range(3):
+                    aux = aux.at[..., 4 + k].set(jnp.where(
+                        mask, face_ref[0, 0, j, 24 + k], aux[..., 4 + k]))
+                aux = aux.at[..., 7].set(jnp.where(
+                    mask, face_ref[0, 0, j, 19], aux[..., 7]))
+                aux_ref[0] = aux
+            return 0
+
+        jax.lax.cond(
+            phase2,
+            lambda: jax.lax.fori_loop(0, CHUNK, shading_face, 0),
+            lambda: jax.lax.fori_loop(0, CHUNK, visibility_face, 0))
 
 
-def visibility_pallas(vertices, faces, height, width, interpret=None):
-    """Winning face index per pixel for a batch, via the Pallas kernel.
+def rasterise_batch(background, vertices, vertex_colors, faces,
+                    interpret=None):
+    """Batched forward rasterisation via the fused Pallas kernel.
 
-    Args:
-        vertices: [B, V, 4]; faces: [B, F, 3]; height/width: ints.
-
-    Returns:
-        best_index [B, height, width] int32, -1 where background.
+    Same contract as ops/reference.rasterise_batch: returns
+    (pixels [B, H, W, C], RasterAux).  Pixel values may differ from the
+    reference backend by float rounding (different compilers contract FMAs
+    differently), but visibility (winning-face maps) matches bit-exactly on
+    tie-free scenes, and constant attributes interpolate exactly (the square
+    test's requirement) because numerator and denominator share the same
+    edge values and summation order.
     """
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    batch, num_faces = faces.shape[0], faces.shape[1]
+        from . import dispatch
+        interpret = not dispatch.on_accelerator()
+
+    background = jnp.asarray(background, jnp.float32)
+    vertices = jnp.asarray(vertices, jnp.float32)
+    vertex_colors = jnp.asarray(vertex_colors, jnp.float32)
+    faces = jnp.asarray(faces, jnp.int32)
+
+    batch, height, width, channels = background.shape
+    num_faces = faces.shape[1]
+    if num_faces == 0:
+        return jax.vmap(reference.shade_pixels)(
+            jnp.full((batch, height, width), -1, jnp.int32),
+            geometry.face_setup(vertices, faces), faces, vertex_colors,
+            background)
+
     num_chunks = max(1, _cdiv(num_faces, CHUNK))
     tiles_y = _cdiv(height, TILE_H)
     tiles_x = _cdiv(width, TILE_W)
+    hp, wp = tiles_y * TILE_H, tiles_x * TILE_W
+    width_d = _BASE + 3 * channels
 
     face_data, chunk_meta = jax.vmap(
         functools.partial(_pack_faces, height=height, width=width,
-                          num_chunks=num_chunks))(vertices, faces)
+                          num_chunks=num_chunks))(
+        vertices, vertex_colors, faces)
+
+    background_p = jnp.pad(
+        background, ((0, 0), (0, hp - height), (0, wp - width), (0, 0)))
 
     kernel = functools.partial(
-        _raster_kernel, height=height, width=width, num_chunks=num_chunks)
+        _raster_kernel, height=height, width=width, num_chunks=num_chunks,
+        channels=channels)
 
-    grid = (batch, tiles_y, tiles_x, num_chunks)
-    depth, index = pl.pallas_call(
+    grid = (batch, tiles_y, tiles_x, 2 * num_chunks)
+    pixels, aux8, _, _, _ = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, 1, 4),
-                         lambda b, ty, tx, c: (b, c, 0, 0),
+                         lambda b, ty, tx, c: (b, c % num_chunks, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, CHUNK, _D),
-                         lambda b, ty, tx, c: (b, c, 0, 0),
+            pl.BlockSpec((1, 1, CHUNK, width_d),
+                         lambda b, ty, tx, c: (b, c % num_chunks, 0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, TILE_H, TILE_W, channels),
+                         lambda b, ty, tx, c: (b, ty, tx, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
+            pl.BlockSpec((1, TILE_H, TILE_W, channels),
+                         lambda b, ty, tx, c: (b, ty, tx, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_H, TILE_W, 8),
+                         lambda b, ty, tx, c: (b, ty, tx, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_H, TILE_W),
+                         lambda b, ty, tx, c: (b, ty, tx),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE_H, TILE_W),
                          lambda b, ty, tx, c: (b, ty, tx),
                          memory_space=pltpu.VMEM),
@@ -271,41 +345,24 @@ def visibility_pallas(vertices, faces, height, width, interpret=None):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct(
-                (batch, tiles_y * TILE_H, tiles_x * TILE_W), jnp.float32),
-            jax.ShapeDtypeStruct(
-                (batch, tiles_y * TILE_H, tiles_x * TILE_W), jnp.int32),
+            jax.ShapeDtypeStruct((batch, hp, wp, channels), jnp.float32),
+            jax.ShapeDtypeStruct((batch, hp, wp, 8), jnp.float32),
+            jax.ShapeDtypeStruct((batch, hp, wp), jnp.float32),   # depth
+            jax.ShapeDtypeStruct((batch, hp, wp), jnp.int32),     # winner pos
+            jax.ShapeDtypeStruct((batch, hp, wp), jnp.int32),     # orig idx
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary")),
         interpret=interpret,
-    )(chunk_meta, face_data)
-    del depth
-    return index[:, :height, :width]
+    )(chunk_meta, face_data, background_p)
 
-
-def rasterise_batch(background, vertices, vertex_colors, faces,
-                    interpret=None):
-    """Batched forward rasterisation via the Pallas kernel.
-
-    Same contract as ops/reference.rasterise_batch; shares its shading
-    postprocess so the two backends produce identical images whenever they
-    agree on visibility.
-    """
-    background = jnp.asarray(background, jnp.float32)
-    vertices = jnp.asarray(vertices, jnp.float32)
-    vertex_colors = jnp.asarray(vertex_colors, jnp.float32)
-    faces = jnp.asarray(faces, jnp.int32)
-
-    batch, height, width = background.shape[0], background.shape[1], background.shape[2]
-    if faces.shape[1] == 0:
-        return jax.vmap(reference.shade_pixels)(
-            jnp.full((batch, height, width), -1, jnp.int32),
-            geometry.face_setup(vertices, faces), faces, vertex_colors,
-            background)
-
-    best_index = visibility_pallas(vertices, faces, height, width, interpret)
-    setup = geometry.face_setup(vertices, faces)
-    return jax.vmap(reference.shade_pixels)(
-        best_index, setup, faces, vertex_colors, background)
+    pixels = pixels[:, :height, :width]
+    aux8 = aux8[:, :height, :width]
+    aux = reference.RasterAux(
+        face_index=aux8[..., 7].astype(jnp.int32),
+        indices=aux8[..., 4:7].astype(jnp.int32),
+        barycentric=aux8[..., 0:3],
+        clip_w=aux8[..., 3],
+    )
+    return pixels, aux

@@ -177,4 +177,4 @@ def test_gradients_work_through_pallas_backend():
 
     g_pallas = np.asarray(jax.grad(loss)(vertices, "pallas"))
     g_ref = np.asarray(jax.grad(loss)(vertices, "reference"))
-    np.testing.assert_array_equal(g_pallas, g_ref)
+    np.testing.assert_allclose(g_pallas, g_ref, rtol=1e-3, atol=1e-4)

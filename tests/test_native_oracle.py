@@ -46,7 +46,10 @@ def test_oracle_matches_pallas_backend():
         backend="pallas")
     np.testing.assert_array_equal(np.asarray(aux.face_index[0]),
                                   expected_index)
-    np.testing.assert_array_equal(np.asarray(pixels[0]), expected_pixels)
+    # Interpolated values: the fused kernel's FMA contraction may differ from
+    # the strictly-rounded oracle by cancellation-amplified rounding at edges.
+    np.testing.assert_allclose(np.asarray(pixels[0]), expected_pixels,
+                               atol=1e-4, rtol=1e-5)
 
 
 def test_oracle_square_test_exact():

@@ -1,9 +1,12 @@
-"""Pallas kernel vs XLA reference backend: bit-exact visibility parity.
+"""Pallas kernel vs XLA reference backend parity.
 
-Both backends share the shading postprocess (ops/reference.shade_pixels), so
-any image difference means they disagreed about per-pixel visibility.  Random
-scenes have measure-zero probability of pixel centres exactly on edges or of
-exact depth ties, so exact equality is the correct assertion.
+Visibility (winning-face maps, vertex-index triples) must match bit-exactly:
+random scenes have measure-zero probability of pixel centres exactly on edges
+or of exact depth ties.  Interpolated *values* (pixels, barycentrics, clip-w)
+may differ by float rounding -- Mosaic and XLA contract FMAs differently, and
+edge functions suffer cancellation near edges -- so they are compared with a
+tight tolerance instead.  Constant-attribute exactness is covered separately
+by the square test.
 """
 
 import numpy as np
@@ -15,12 +18,15 @@ from dirt_tpu.utils import meshes
 
 
 def _compare(background, vertices, colors, faces):
-    pallas = np.asarray(dirt_tpu.rasterise_batch(
-        background, vertices, colors, faces, backend="pallas"))
-    ref = np.asarray(dirt_tpu.rasterise_batch(
-        background, vertices, colors, faces, backend="reference"))
-    np.testing.assert_array_equal(pallas, ref)
-    return pallas
+    pallas, aux_p = dispatch.forward_batch(
+        background, vertices, colors, faces, backend="pallas")
+    ref, aux_r = dispatch.forward_batch(
+        background, vertices, colors, faces, backend="reference")
+    np.testing.assert_array_equal(np.asarray(aux_p.face_index),
+                                  np.asarray(aux_r.face_index))
+    np.testing.assert_allclose(np.asarray(pallas), np.asarray(ref),
+                               atol=1e-4, rtol=1e-5)
+    return np.asarray(pallas)
 
 
 def test_random_soup_parity():
@@ -60,10 +66,14 @@ def test_aux_buffers_match():
                                   np.asarray(aux_r.face_index))
     np.testing.assert_array_equal(np.asarray(aux_p.indices),
                                   np.asarray(aux_r.indices))
-    np.testing.assert_array_equal(np.asarray(aux_p.barycentric),
-                                  np.asarray(aux_r.barycentric))
-    np.testing.assert_array_equal(np.asarray(aux_p.clip_w),
-                                  np.asarray(aux_r.clip_w))
+    np.testing.assert_allclose(np.asarray(aux_p.barycentric),
+                               np.asarray(aux_r.barycentric),
+                               atol=1e-4, rtol=1e-4)
+    finite = np.isfinite(np.asarray(aux_r.clip_w))
+    np.testing.assert_array_equal(finite, np.isfinite(np.asarray(aux_p.clip_w)))
+    np.testing.assert_allclose(np.asarray(aux_p.clip_w)[finite],
+                               np.asarray(aux_r.clip_w)[finite],
+                               atol=1e-4, rtol=1e-4)
 
 
 def test_many_faces_multiple_chunks():
