@@ -85,10 +85,13 @@ def scharr_filters(pixels):
     return scharr_x, scharr_y
 
 
-def _dilate(indices, barycentric, clip_w, scharr_x, scharr_y):
+def _dilate(indices, barycentric, clip_w, scharr_x, scharr_y,
+            face_index=None):
     """Occlusion-boundary dilation (rasterise_grad_egl.cu:153-194).
 
-    Returns post-dilation (indices, barycentric, clip_w, dilated_mask).
+    Returns post-dilation (indices, barycentric, clip_w, dilated_mask) and,
+    if `face_index` is given, additionally the post-dilation face index (the
+    face-major Pallas gradient kernel keys its accumulation on it).
     """
     h, w = clip_w.shape
 
@@ -112,8 +115,10 @@ def _dilate(indices, barycentric, clip_w, scharr_x, scharr_y):
     n_idx = jnp.stack([_shift(indices, ox, oy, -1) for ox, oy in offs])
     n_bary = jnp.stack([_shift(barycentric, ox, oy, -1.0) for ox, oy in offs])
     n_w = jnp.stack([_shift(clip_w, ox, oy, jnp.inf) for ox, oy in offs])
+    n_face = (jnp.stack([_shift(face_index, ox, oy, -1) for ox, oy in offs])
+              if face_index is not None else None)
 
-    def attempt(choice, idx_cur, bary_cur, w_cur, already):
+    def attempt(choice, idx_cur, bary_cur, w_cur, face_cur, already):
         # Pure vector selects (TPU-friendly; a take_along_axis here would be
         # a 3.1M-row gather).
         def sel(stack):
@@ -125,6 +130,7 @@ def _dilate(indices, barycentric, clip_w, scharr_x, scharr_y):
         cand_idx = sel(n_idx)
         cand_bary = sel(n_bary)
         cand_w = sel(n_w)
+        cand_face = sel(n_face) if n_face is not None else None
         # Neighbour is over a triangle, a *different* triangle, and nearer.
         # (Exact comparisons, matching the reference's zero-tolerance float
         # compares, rasterise_grad_egl.cu:87-89,165.)
@@ -136,15 +142,20 @@ def _dilate(indices, barycentric, clip_w, scharr_x, scharr_y):
             jnp.where(cond[..., None], cand_idx, idx_cur),
             jnp.where(cond[..., None], cand_bary, bary_cur),
             jnp.where(cond, cand_w, w_cur),
+            (jnp.where(cond, cand_face, face_cur)
+             if face_cur is not None else None),
             already | cond,
         )
 
-    idx1, bary1, w1, dilated = attempt(
-        primary, indices, barycentric, clip_w,
+    idx1, bary1, w1, face1, dilated = attempt(
+        primary, indices, barycentric, clip_w, face_index,
         jnp.zeros_like(interior))
     secondary = primary ^ 1  # opposite direction
-    idx2, bary2, w2, dilated = attempt(secondary, idx1, bary1, w1, dilated)
-    return idx2, bary2, w2, dilated
+    idx2, bary2, w2, face2, dilated = attempt(
+        secondary, idx1, bary1, w1, face1, dilated)
+    if face_index is None:
+        return idx2, bary2, w2, dilated
+    return idx2, bary2, w2, dilated, face2
 
 
 def rasterise_grad_single(vertices, faces, pixels, grad_pixels, aux):
@@ -229,8 +240,24 @@ def rasterise_grad_single(vertices, faces, pixels, grad_pixels, aux):
                           debug)
 
 
-def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux):
-    """Batched gradient assembly ([B, ...] on every argument)."""
+def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
+                         implementation=None):
+    """Batched gradient assembly ([B, ...] on every argument).
+
+    `implementation`: "pallas" (face-major kernel, ops/grad_pallas.py),
+    "xla" (segment_sum scatters, this module), or None for automatic
+    (pallas on TPU; overridable with DIRT_TPU_GRAD_BACKEND).
+    """
+    import os
+    if implementation is None:
+        implementation = os.environ.get("DIRT_TPU_GRAD_BACKEND", "auto")
+    if implementation == "auto":
+        from . import dispatch
+        implementation = "pallas" if dispatch.on_accelerator() else "xla"
+    if implementation == "pallas":
+        from . import grad_pallas
+        return grad_pallas.rasterise_grad_batch(
+            vertices, faces, pixels, grad_pixels, aux)
     return jax.vmap(rasterise_grad_single)(
         vertices, faces, pixels, grad_pixels, aux)
 

@@ -161,8 +161,12 @@ def _raster_kernel(meta_ref, face_ref, background_ref,
     @pl.when(step == num_chunks)
     def _init_shading():
         pixels_ref[0] = background_ref[0]
-        aux = jnp.full((TILE_H, TILE_W, 8), -1.0, jnp.float32)
-        aux_ref[0] = aux.at[..., 3].set(jnp.inf)   # clip-w clears to +inf
+        neg = jnp.full((TILE_H, TILE_W, 1), -1.0, jnp.float32)
+        inf = jnp.full((TILE_H, TILE_W, 1), jnp.inf, jnp.float32)
+        # (bary0..2, clip_w, vid0..2, orig): background clear values match the
+        # reference's aux clears (rasterise_grad_egl.cpp:442-445).
+        aux_ref[0] = jnp.concatenate(
+            [neg, neg, neg, inf, neg, neg, neg, neg], axis=-1)
 
     chunk_hits_tile = ((meta_ref[0, 0, 0, 0] <= tile_row + TILE_H - 1)
                        & (meta_ref[0, 0, 0, 1] >= tile_row)
@@ -237,26 +241,27 @@ def _raster_kernel(meta_ref, face_ref, background_ref,
                 s_w = (E0 * face_ref[0, 0, j, 12] + E1 * face_ref[0, 0, j, 13]
                        + E2 * face_ref[0, 0, j, 14])
 
-                pix = pixels_ref[0]
                 for ch in range(channels):
                     num = ((E0 * face_ref[0, 0, j, _BASE + ch]
                             + E1 * face_ref[0, 0, j, _BASE + channels + ch])
                            + E2 * face_ref[0, 0, j, _BASE + 2 * channels + ch])
-                    pix = pix.at[..., ch].set(
-                        jnp.where(mask, num / denom, pix[..., ch]))
-                pixels_ref[0] = pix
+                    pixels_ref[0, :, :, ch] = jnp.where(
+                        mask, num / denom, pixels_ref[0, :, :, ch])
 
-                aux = aux_ref[0]
-                aux = aux.at[..., 0].set(jnp.where(mask, E0 / denom, aux[..., 0]))
-                aux = aux.at[..., 1].set(jnp.where(mask, E1 / denom, aux[..., 1]))
-                aux = aux.at[..., 2].set(jnp.where(mask, E2 / denom, aux[..., 2]))
-                aux = aux.at[..., 3].set(jnp.where(mask, s_w / denom, aux[..., 3]))
+                aux_ref[0, :, :, 0] = jnp.where(mask, E0 / denom,
+                                                aux_ref[0, :, :, 0])
+                aux_ref[0, :, :, 1] = jnp.where(mask, E1 / denom,
+                                                aux_ref[0, :, :, 1])
+                aux_ref[0, :, :, 2] = jnp.where(mask, E2 / denom,
+                                                aux_ref[0, :, :, 2])
+                aux_ref[0, :, :, 3] = jnp.where(mask, s_w / denom,
+                                                aux_ref[0, :, :, 3])
                 for k in range(3):
-                    aux = aux.at[..., 4 + k].set(jnp.where(
-                        mask, face_ref[0, 0, j, 24 + k], aux[..., 4 + k]))
-                aux = aux.at[..., 7].set(jnp.where(
-                    mask, face_ref[0, 0, j, 19], aux[..., 7]))
-                aux_ref[0] = aux
+                    aux_ref[0, :, :, 4 + k] = jnp.where(
+                        mask, face_ref[0, 0, j, 24 + k],
+                        aux_ref[0, :, :, 4 + k])
+                aux_ref[0, :, :, 7] = jnp.where(
+                    mask, face_ref[0, 0, j, 19], aux_ref[0, :, :, 7])
             return 0
 
         jax.lax.cond(

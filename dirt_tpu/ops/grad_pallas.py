@@ -1,0 +1,291 @@
+"""Face-major Pallas TPU kernel for the gradient scatters.
+
+The analytic backward pass (ops/backward.py) ends in two large scatter-adds:
+per-pixel, bary-weighted contributions into grad_vertices / grad_vertex_colors
+(the reference uses atomicAdd, rasterise_grad_egl.cu:140,228-230; the XLA
+formulation uses segment_sum, which lowers to scatter and costs ~20 ms per
+3.1M rows on TPU v5e).  This kernel inverts the loop: the Scharr responses
+and occluder dilation stay as cheap elementwise XLA, but the scatters become
+face-major masked *reductions* -- for each (face chunk, image tile) the kernel
+sums each face's pixel contributions over the tile with a winner-mask, so all
+accumulation is dense VPU work and the only remaining scatter is a tiny
+face-count-sized segment_sum from face corners to vertices.
+
+Gradient semantics are identical to ops/backward.py (same pre-dilation colour
+weights, post-dilation position weights, viewport chain rule); tests compare
+the two paths directly.
+"""
+
+import functools
+import os as _os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import backward, forward_pallas, geometry
+
+TILE_H = forward_pallas.TILE_H
+TILE_W = forward_pallas.TILE_W
+CHUNK = forward_pallas.CHUNK
+_BIG = forward_pallas._BIG
+_DF = 12   # face-table floats: bbox(4), orig idx, valid, corner x0 y0 x1 y1 x2 y2
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _pack_grad_faces(vertices, faces, height, width, num_chunks):
+    """Face table for the gradient kernel (Morton-sorted, like the forward).
+
+    Returns (face_data [NC, CHUNK, _DF] f32, chunk_meta [NC, 1, 4] i32,
+    sorted_orig [NC * CHUNK] i32 mapping kernel rows to original faces).
+    """
+    num_faces = faces.shape[0]
+    setup = geometry.face_setup(vertices, faces)
+
+    corners = jnp.take(vertices, faces, axis=0)          # [F, 3, 4]
+    w = corners[..., 3]
+    safe_w = jnp.where(w > 0, w, 1.0)
+    px = (corners[..., 0] / safe_w + 1.0) * (width / 2.0)
+    py = (1.0 - corners[..., 1] / safe_w) * (height / 2.0)
+
+    unbounded = jnp.any(w <= 0, axis=-1)
+    col0 = jnp.floor(jnp.min(px, axis=-1) - 0.5).astype(jnp.int32) - 1
+    col1 = jnp.ceil(jnp.max(px, axis=-1) - 0.5).astype(jnp.int32) + 1
+    row0 = jnp.floor(jnp.min(py, axis=-1) - 0.5).astype(jnp.int32) - 1
+    row1 = jnp.ceil(jnp.max(py, axis=-1) - 0.5).astype(jnp.int32) + 1
+    # Dilation can move a face's gradient support one pixel beyond its
+    # rasterised footprint: widen the bbox by an extra pixel.
+    col0 = jnp.where(unbounded, 0, jnp.clip(col0 - 1, 0, width - 1))
+    col1 = jnp.where(unbounded, width - 1, jnp.clip(col1 + 1, 0, width - 1))
+    row0 = jnp.where(unbounded, 0, jnp.clip(row0 - 1, 0, height - 1))
+    row1 = jnp.where(unbounded, height - 1, jnp.clip(row1 + 1, 0, height - 1))
+
+    valid = setup.valid
+    row0 = jnp.where(valid, row0, _BIG)
+    col0 = jnp.where(valid, col0, _BIG)
+    row1 = jnp.where(valid, row1, -1)
+    col1 = jnp.where(valid, col1, -1)
+
+    tcx = jnp.clip((col0 + col1) // 2, 0, width - 1) // TILE_W
+    tcy = jnp.clip((row0 + row1) // 2, 0, height - 1) // TILE_H
+    morton = (forward_pallas._part1by1(tcx)
+              | (forward_pallas._part1by1(tcy) << 1))
+    morton = jnp.where(valid, morton, jnp.int32(np.int32(0x7FFFFFFF)))
+    order = jnp.argsort(morton)
+
+    f32 = lambda a: a.astype(jnp.float32)
+    face_data = jnp.concatenate([
+        f32(row0)[:, None], f32(row1)[:, None],
+        f32(col0)[:, None], f32(col1)[:, None],
+        f32(jnp.arange(num_faces, dtype=jnp.int32))[:, None],
+        f32(valid)[:, None],
+        corners[..., 0],    # x0 x1 x2
+        corners[..., 1],    # y0 y1 y2
+    ], axis=1)
+    face_data = jnp.take(face_data, order, axis=0)
+    sorted_orig = jnp.take(jnp.arange(num_faces, dtype=jnp.int32), order)
+
+    pad_rows = num_chunks * CHUNK - num_faces
+    pad_value = jnp.zeros((_DF,), jnp.float32).at[0].set(float(_BIG)).at[
+        2].set(float(_BIG)).at[1].set(-1.0).at[3].set(-1.0).at[4].set(-1.0)
+    face_data = jnp.concatenate(
+        [face_data, jnp.tile(pad_value[None], (pad_rows, 1))], axis=0)
+    sorted_orig = jnp.concatenate(
+        [sorted_orig, jnp.zeros((pad_rows,), jnp.int32)])
+    face_data = face_data.reshape(num_chunks, CHUNK, _DF)
+
+    chunk_meta = jnp.stack([
+        jnp.min(face_data[..., 0], axis=1).astype(jnp.int32),
+        jnp.max(face_data[..., 1], axis=1).astype(jnp.int32),
+        jnp.min(face_data[..., 2], axis=1).astype(jnp.int32),
+        jnp.max(face_data[..., 3], axis=1).astype(jnp.int32),
+    ], axis=1)
+    return face_data, chunk_meta[:, None, :], sorted_orig
+
+
+def _grad_kernel(meta_ref, face_ref, pos_ref, col_ref, out_ref,
+                 *, num_chunks, channels, tiles_y, tiles_x):
+    # grid: (batch, chunk, tile_y, tile_x); the [CHUNK, D_out] output block
+    # for a chunk stays resident across its tile sweep.
+    tile_y = pl.program_id(2)
+    tile_x = pl.program_id(3)
+    tile_row = tile_y * TILE_H
+    tile_col = tile_x * TILE_W
+
+    @pl.when((tile_y == 0) & (tile_x == 0))
+    def _init():
+        out_ref[0, 0] = jnp.zeros_like(out_ref[0, 0])
+
+    chunk_hits_tile = ((meta_ref[0, 0, 0, 0] <= tile_row + TILE_H - 1)
+                       & (meta_ref[0, 0, 0, 1] >= tile_row)
+                       & (meta_ref[0, 0, 0, 2] <= tile_col + TILE_W - 1)
+                       & (meta_ref[0, 0, 0, 3] >= tile_col))
+
+    @pl.when(chunk_hits_tile)
+    def _process():
+        # pos_ref tile layout: (Ax, Ay, Px, Py, bd0, bd1, bd2, face_d)
+        ax = pos_ref[0, :, :, 0]
+        ay = pos_ref[0, :, :, 1]
+        px = pos_ref[0, :, :, 2]
+        py = pos_ref[0, :, :, 3]
+        bd = [pos_ref[0, :, :, 4 + k] for k in range(3)]
+        face_d = pos_ref[0, :, :, 7]
+        # col_ref tile layout: (bp0, bp1, bp2, face_pre, gp[0..C))
+        bp = [col_ref[0, :, :, k] for k in range(3)]
+        face_pre = col_ref[0, :, :, 3]
+        gp = [col_ref[0, :, :, 4 + c] for c in range(channels)]
+
+        def visit_face(j, _):
+            face_hits = ((face_ref[0, 0, j, 0] <= tile_row + TILE_H - 1)
+                         & (face_ref[0, 0, j, 1] >= tile_row)
+                         & (face_ref[0, 0, j, 2] <= tile_col + TILE_W - 1)
+                         & (face_ref[0, 0, j, 3] >= tile_col))
+
+            @pl.when(face_hits)
+            def _():
+                fid = face_ref[0, 0, j, 4]
+                mask_d = face_d == fid
+                cx = (bd[0] * face_ref[0, 0, j, 6]
+                      + bd[1] * face_ref[0, 0, j, 7]
+                      + bd[2] * face_ref[0, 0, j, 8])
+                cy = (bd[0] * face_ref[0, 0, j, 9]
+                      + bd[1] * face_ref[0, 0, j, 10]
+                      + bd[2] * face_ref[0, 0, j, 11])
+                p = px * cx + py * cy
+                mask_pre = face_pre == fid
+                stride = 3 + channels   # corner-major rows: gx gy gw gc...
+                for k in range(3):
+                    wd = jnp.where(mask_d, bd[k], 0.0)
+                    out_ref[0, 0, j, k * stride + 0] += jnp.sum(wd * ax)
+                    out_ref[0, 0, j, k * stride + 1] += jnp.sum(wd * ay)
+                    out_ref[0, 0, j, k * stride + 2] += -jnp.sum(wd * p)
+                    wp = jnp.where(mask_pre, bp[k], 0.0)
+                    for c in range(channels):
+                        out_ref[0, 0, j, k * stride + 3 + c] += jnp.sum(
+                            wp * gp[c])
+            return 0
+
+        jax.lax.fori_loop(0, CHUNK, visit_face, 0)
+
+
+def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
+                         interpret=None):
+    """Face-major Pallas gradient assembly; same contract and semantics as
+    backward.rasterise_grad_batch (all arguments [B, ...])."""
+    if interpret is None:
+        from . import dispatch
+        interpret = not dispatch.on_accelerator()
+
+    vertices = jnp.asarray(vertices, jnp.float32)
+    faces = jnp.asarray(faces, jnp.int32)
+    pixels = jnp.asarray(pixels, jnp.float32)
+    grad_pixels = jnp.asarray(grad_pixels, jnp.float32)
+
+    batch, height, width, channels = pixels.shape
+    num_vertices = vertices.shape[1]
+    num_faces = faces.shape[1]
+
+    # --- elementwise XLA pre-pass ---
+    scharr_x, scharr_y = jax.vmap(backward.scharr_filters)(pixels)
+    covered_pre = aux.indices[..., 0] >= 0
+    grad_background = jnp.where(covered_pre[..., None], 0.0, grad_pixels)
+
+    _, bary_d, clip_w_d, dilated, face_d = jax.vmap(backward._dilate)(
+        aux.indices, aux.barycentric, aux.clip_w, scharr_x, scharr_y,
+        aux.face_index)
+    covered_d = face_d >= 0
+
+    dl_dx = jnp.sum(grad_pixels * scharr_x, axis=-1)
+    dl_dy = jnp.sum(grad_pixels * scharr_y, axis=-1)
+    safe_w = jnp.where(covered_d, clip_w_d, 1.0)
+    half_w, half_h = 0.5 * width, 0.5 * height
+    zero = jnp.zeros_like(dl_dx)
+    ax = jnp.where(covered_d, dl_dx * half_w / safe_w, zero)
+    ay = jnp.where(covered_d, dl_dy * half_h / safe_w, zero)
+    px_t = jnp.where(covered_d, dl_dx * half_w / (safe_w * safe_w), zero)
+    py_t = jnp.where(covered_d, dl_dy * half_h / (safe_w * safe_w), zero)
+
+    num_chunks = max(1, _cdiv(num_faces, CHUNK))
+    tiles_y = _cdiv(height, TILE_H)
+    tiles_x = _cdiv(width, TILE_W)
+    hp, wp = tiles_y * TILE_H, tiles_x * TILE_W
+
+    def pad_hw(a):
+        return jnp.pad(a, ((0, 0), (0, hp - height), (0, wp - width))
+                       + ((0, 0),) * (a.ndim - 3))
+
+    f32 = lambda a: a.astype(jnp.float32)
+    pos_tab = pad_hw(jnp.stack(
+        [ax, ay, px_t, py_t, bary_d[..., 0], bary_d[..., 1], bary_d[..., 2],
+         # Padded pixels must match no face: use -2 (valid faces are >= 0,
+         # background is -1).
+         f32(face_d)], axis=-1))
+    col_tab = pad_hw(jnp.concatenate([
+        jnp.where(covered_pre[..., None], aux.barycentric, 0.0),
+        f32(aux.face_index)[..., None],
+        grad_pixels,
+    ], axis=-1))
+
+    face_data, chunk_meta, sorted_orig = jax.vmap(
+        functools.partial(_pack_grad_faces, height=height, width=width,
+                          num_chunks=num_chunks))(vertices, faces)
+
+    d_out = 9 + 3 * channels
+    kernel = functools.partial(
+        _grad_kernel, num_chunks=num_chunks, channels=channels,
+        tiles_y=tiles_y, tiles_x=tiles_x)
+
+    face_grads = pl.pallas_call(
+        kernel,
+        grid=(batch, num_chunks, tiles_y, tiles_x),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, 4),
+                         lambda b, c, ty, tx: (b, c, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, CHUNK, _DF),
+                         lambda b, c, ty, tx: (b, c, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, TILE_H, TILE_W, 8),
+                         lambda b, c, ty, tx: (b, ty, tx, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_H, TILE_W, 4 + channels),
+                         lambda b, c, ty, tx: (b, ty, tx, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, CHUNK, d_out),
+                               lambda b, c, ty, tx: (b, c, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (batch, num_chunks, CHUNK, d_out), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary",
+                                 "arbitrary")),
+        interpret=interpret,
+    )(chunk_meta, face_data, pos_tab, col_tab)
+
+    # --- tiny face-corner -> vertex scatter (F*3 rows) ---
+    face_grads = face_grads.reshape(batch, num_chunks * CHUNK, 3,
+                                    3 + channels)
+    corner_vids = jnp.take_along_axis(
+        faces, sorted_orig[..., None], axis=1)          # [B, NC*K, 3]
+    batch_offsets = (jnp.arange(batch, dtype=jnp.int32)
+                     * num_vertices)[:, None, None]
+    seg = (corner_vids + batch_offsets).reshape(-1)
+    rows = face_grads.reshape(-1, 3 + channels)
+    summed = jax.ops.segment_sum(rows, seg,
+                                 num_segments=batch * num_vertices)
+    summed = summed.reshape(batch, num_vertices, 3 + channels)
+
+    grad_vertices = jnp.stack([
+        summed[..., 0], summed[..., 1],
+        jnp.zeros_like(summed[..., 0]), summed[..., 2],
+    ], axis=-1)
+    grad_vertex_colors = summed[..., 3:]
+    debug = jnp.where(dilated, 1.e-2, 0.0)
+    return backward.RasteriseGrads(
+        grad_background, grad_vertices, grad_vertex_colors, debug)
