@@ -196,78 +196,91 @@ def _raster_kernel(meta_ref, face_ref, background_ref,
                     & (face_ref[0, 0, j, 22] <= tile_col + TILE_W - 1)
                     & (face_ref[0, 0, j, 23] >= tile_col))
 
-        def visibility_face(j, _):
-            @pl.when(face_hits_tile(j))
-            def _():
-                E0, E1, E2 = edges(j)
-                s_z = (E0 * face_ref[0, 0, j, 9] + E1 * face_ref[0, 0, j, 10]
-                       + E2 * face_ref[0, 0, j, 11])
-                s_w = (E0 * face_ref[0, 0, j, 12] + E1 * face_ref[0, 0, j, 13]
-                       + E2 * face_ref[0, 0, j, 14])
-                a0 = face_ref[0, 0, j, 15] != 0.0
-                a1 = face_ref[0, 0, j, 16] != 0.0
-                a2 = face_ref[0, 0, j, 17] != 0.0
-                in_p = (((E0 > 0) | ((E0 == 0) & a0))
-                        & ((E1 > 0) | ((E1 == 0) & a1))
-                        & ((E2 > 0) | ((E2 == 0) & a2)))
-                in_n = (((E0 < 0) | ((E0 == 0) & ~a0))
-                        & ((E1 < 0) | ((E1 == 0) & ~a1))
-                        & ((E2 < 0) | ((E2 == 0) & ~a2)))
-                cov_p = in_p & (s_w > 0) & (s_z >= -s_w) & (s_z <= s_w)
-                cov_n = in_n & (s_w < 0) & (s_z <= -s_w) & (s_z >= s_w)
-                covered = (cov_p | cov_n) & (face_ref[0, 0, j, 18] != 0.0)
-                depth = jnp.where(covered, s_z / s_w, jnp.inf)
+        # The z-buffer / framebuffer state rides in fori_loop CARRIES, not in
+        # the output refs: a ref read-modify-write per face costs several
+        # full-tile VMEM round trips (measured ~40x slowdown); carries stay
+        # in vector registers across the face loop and the refs are written
+        # once per grid step.
 
-                orig_index = face_ref[0, 0, j, 19].astype(jnp.int32)
-                best_depth = depth_ref[0]
-                best_orig = orig_ref[0]
-                # GL_LESS + draw-order ties == lexicographic (depth, index).
-                better = covered & (
-                    (depth < best_depth)
-                    | ((depth == best_depth) & (orig_index < best_orig)))
-                depth_ref[0] = jnp.where(better, depth, best_depth)
-                orig_ref[0] = jnp.where(better, orig_index, best_orig)
-                winner_ref[0] = jnp.where(
-                    better, chunk_idx * CHUNK + j, winner_ref[0])
-            return 0
+        def visibility_face(j, state):
+            best_depth, best_orig, best_winner = state
+            E0, E1, E2 = edges(j)
+            s_z = (E0 * face_ref[0, 0, j, 9] + E1 * face_ref[0, 0, j, 10]
+                   + E2 * face_ref[0, 0, j, 11])
+            s_w = (E0 * face_ref[0, 0, j, 12] + E1 * face_ref[0, 0, j, 13]
+                   + E2 * face_ref[0, 0, j, 14])
+            a0 = face_ref[0, 0, j, 15] != 0.0
+            a1 = face_ref[0, 0, j, 16] != 0.0
+            a2 = face_ref[0, 0, j, 17] != 0.0
+            in_p = (((E0 > 0) | ((E0 == 0) & a0))
+                    & ((E1 > 0) | ((E1 == 0) & a1))
+                    & ((E2 > 0) | ((E2 == 0) & a2)))
+            in_n = (((E0 < 0) | ((E0 == 0) & ~a0))
+                    & ((E1 < 0) | ((E1 == 0) & ~a1))
+                    & ((E2 < 0) | ((E2 == 0) & ~a2)))
+            cov_p = in_p & (s_w > 0) & (s_z >= -s_w) & (s_z <= s_w)
+            cov_n = in_n & (s_w < 0) & (s_z <= -s_w) & (s_z >= s_w)
+            covered = (cov_p | cov_n) & (face_ref[0, 0, j, 18] != 0.0)
+            # The face-level bbox test folds into the coverage mask (cheaper
+            # than a branch: the vector work happens anyway, but skipped
+            # faces must not overwrite state).
+            covered &= face_hits_tile(j)
+            depth = jnp.where(covered, s_z / s_w, jnp.inf)
 
-        def shading_face(j, _):
-            @pl.when(face_hits_tile(j))
-            def _():
-                mask = winner_ref[0] == chunk_idx * CHUNK + j
-                E0, E1, E2 = edges(j)
-                s_e = (E0 + E1) + E2
-                denom = jnp.where(s_e == 0, 1.0, s_e)
-                s_w = (E0 * face_ref[0, 0, j, 12] + E1 * face_ref[0, 0, j, 13]
-                       + E2 * face_ref[0, 0, j, 14])
+            orig_index = face_ref[0, 0, j, 19].astype(jnp.int32)
+            # GL_LESS + draw-order ties == lexicographic (depth, index).
+            better = covered & (
+                (depth < best_depth)
+                | ((depth == best_depth) & (orig_index < best_orig)))
+            return (jnp.where(better, depth, best_depth),
+                    jnp.where(better, orig_index, best_orig),
+                    jnp.where(better, chunk_idx * CHUNK + j, best_winner))
 
-                for ch in range(channels):
-                    num = ((E0 * face_ref[0, 0, j, _BASE + ch]
-                            + E1 * face_ref[0, 0, j, _BASE + channels + ch])
-                           + E2 * face_ref[0, 0, j, _BASE + 2 * channels + ch])
-                    pixels_ref[0, :, :, ch] = jnp.where(
-                        mask, num / denom, pixels_ref[0, :, :, ch])
+        def shading_face(j, state):
+            pix, aux = state
+            winner = winner_ref[0]
+            mask = (winner == chunk_idx * CHUNK + j) & face_hits_tile(j)
+            E0, E1, E2 = edges(j)
+            s_e = (E0 + E1) + E2
+            denom = jnp.where(s_e == 0, 1.0, s_e)
+            s_w = (E0 * face_ref[0, 0, j, 12] + E1 * face_ref[0, 0, j, 13]
+                   + E2 * face_ref[0, 0, j, 14])
 
-                aux_ref[0, :, :, 0] = jnp.where(mask, E0 / denom,
-                                                aux_ref[0, :, :, 0])
-                aux_ref[0, :, :, 1] = jnp.where(mask, E1 / denom,
-                                                aux_ref[0, :, :, 1])
-                aux_ref[0, :, :, 2] = jnp.where(mask, E2 / denom,
-                                                aux_ref[0, :, :, 2])
-                aux_ref[0, :, :, 3] = jnp.where(mask, s_w / denom,
-                                                aux_ref[0, :, :, 3])
-                for k in range(3):
-                    aux_ref[0, :, :, 4 + k] = jnp.where(
-                        mask, face_ref[0, 0, j, 24 + k],
-                        aux_ref[0, :, :, 4 + k])
-                aux_ref[0, :, :, 7] = jnp.where(
-                    mask, face_ref[0, 0, j, 19], aux_ref[0, :, :, 7])
-            return 0
+            pix_planes = []
+            for ch in range(channels):
+                num = ((E0 * face_ref[0, 0, j, _BASE + ch]
+                        + E1 * face_ref[0, 0, j, _BASE + channels + ch])
+                       + E2 * face_ref[0, 0, j, _BASE + 2 * channels + ch])
+                pix_planes.append(jnp.where(mask, num / denom, pix[ch]))
 
-        jax.lax.cond(
-            phase2,
-            lambda: jax.lax.fori_loop(0, CHUNK, shading_face, 0),
-            lambda: jax.lax.fori_loop(0, CHUNK, visibility_face, 0))
+            aux_planes = [
+                jnp.where(mask, E0 / denom, aux[0]),
+                jnp.where(mask, E1 / denom, aux[1]),
+                jnp.where(mask, E2 / denom, aux[2]),
+                jnp.where(mask, s_w / denom, aux[3]),
+                jnp.where(mask, face_ref[0, 0, j, 24], aux[4]),
+                jnp.where(mask, face_ref[0, 0, j, 25], aux[5]),
+                jnp.where(mask, face_ref[0, 0, j, 26], aux[6]),
+                jnp.where(mask, face_ref[0, 0, j, 19], aux[7]),
+            ]
+            return tuple(pix_planes), tuple(aux_planes)
+
+        def run_visibility():
+            state = (depth_ref[0], orig_ref[0], winner_ref[0])
+            state = jax.lax.fori_loop(0, CHUNK, visibility_face, state)
+            depth_ref[0], orig_ref[0], winner_ref[0] = state
+
+        def run_shading():
+            pix = tuple(pixels_ref[0, :, :, ch] for ch in range(channels))
+            aux = tuple(aux_ref[0, :, :, k] for k in range(8))
+            pix, aux = jax.lax.fori_loop(
+                0, CHUNK, shading_face, (pix, aux))
+            for ch in range(channels):
+                pixels_ref[0, :, :, ch] = pix[ch]
+            for k in range(8):
+                aux_ref[0, :, :, k] = aux[k]
+
+        jax.lax.cond(phase2, run_shading, run_visibility)
 
 
 def rasterise_batch(background, vertices, vertex_colors, faces,
