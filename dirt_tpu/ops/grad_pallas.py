@@ -257,9 +257,11 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
                          lambda b, c, ty, tx: (b, ty, tx, 0),
                          memory_space=pltpu.VMEM),
         ],
+        # SMEM: the kernel accumulates per-face scalars (Mosaic cannot
+        # store scalars to VMEM); the block is only CHUNK * (9 + 3C) floats.
         out_specs=pl.BlockSpec((1, 1, CHUNK, d_out),
                                lambda b, c, ty, tx: (b, c, 0, 0),
-                               memory_space=pltpu.VMEM),
+                               memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct(
             (batch, num_chunks, CHUNK, d_out), jnp.float32),
         compiler_params=pltpu.CompilerParams(
