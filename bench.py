@@ -70,6 +70,23 @@ def main():
     background, clip, colors, faces, weights = build_scene(
         batch, resolution, segments)
 
+    if os.environ.get("DIRT_BENCH_VERIFY"):
+        # Parity gate before timing: the first image must match the native
+        # C++ oracle's visibility exactly and pixels within FMA tolerance.
+        import numpy as _np
+        from dirt_tpu.ops import dispatch as _dispatch
+        from dirt_tpu.utils import oracle as _oracle
+        pixels, aux = _dispatch.forward_batch(
+            background[:1], clip[:1], colors[:1], faces[:1])
+        want_pixels, want_index = _oracle.rasterise(
+            _np.asarray(background[0]), _np.asarray(clip[0]),
+            _np.asarray(colors[0]), _np.asarray(faces[0]))
+        assert (_np.asarray(aux.face_index[0]) == want_index).all(), \
+            "visibility parity failure vs native oracle"
+        _np.testing.assert_allclose(
+            _np.asarray(pixels[0]), want_pixels, atol=1e-4, rtol=1e-5)
+        print("# parity vs native oracle: OK", flush=True)
+
     def loss(clip_v, colors_v, background_v):
         pixels = dirt_tpu.rasterise_batch(
             background_v, clip_v, colors_v, faces, backend=backend)

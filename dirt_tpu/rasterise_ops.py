@@ -115,6 +115,34 @@ def rasterise(background, vertices, vertex_colors, faces, height=None,
         height, width, channels, backend)[0]
 
 
+def rasterise_grad_debug(background, vertices, vertex_colors, faces,
+                         grad_pixels, backend=None):
+    """Runs the gradient assembly with its debug output exposed.
+
+    The analogue of the reference grad op's `debug_thingy` image
+    (csrc/rasterise_grad_egl.cpp:44, rasterise_grad_egl.cu:150-172): returns
+    (grads, debug) where `debug` is a [height, width] image marking pixels
+    whose gradients were dilated to an occluder, for visualising/diagnosing
+    the occlusion-boundary behaviour.  All arguments are single-image.
+
+    Returns:
+        (RasteriseGrads namedtuple with unbatched fields, debug image).
+    """
+    pixels, aux = _dispatch.forward_batch(
+        jnp.asarray(background, jnp.float32)[None],
+        jnp.asarray(vertices, jnp.float32)[None],
+        jnp.asarray(vertex_colors, jnp.float32)[None],
+        jnp.asarray(faces, jnp.int32)[None], backend)
+    grads = _backward.rasterise_grad_batch(
+        jnp.asarray(vertices, jnp.float32)[None],
+        jnp.asarray(faces, jnp.int32)[None],
+        pixels, jnp.asarray(grad_pixels, jnp.float32)[None], aux,
+        implementation="xla")
+    unbatched = _backward.RasteriseGrads(
+        *(field[0] for field in grads))
+    return unbatched, unbatched.debug
+
+
 def _check_hwc(background, height, width, channels):
     if height is not None and background.shape[-3] != height:
         raise ValueError(
