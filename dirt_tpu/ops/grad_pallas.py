@@ -108,8 +108,9 @@ def _pack_grad_faces(vertices, faces, height, width, num_chunks):
     return face_data, chunk_meta[:, None, :], sorted_orig
 
 
-def _grad_kernel(meta_ref, face_ref, pos_ref, col_ref, out_ref,
+def _grad_kernel(meta_ref, face_ref, pos_ref, col_ref, zeros_ref, out_ref,
                  *, num_chunks, channels, tiles_y, tiles_x):
+    del zeros_ref  # aliased to out_ref; provides the zero initialisation
     # grid: (batch, chunk, tile_y, tile_x); the [CHUNK, D_out] output block
     # for a chunk stays resident across its tile sweep.
     tile_y = pl.program_id(2)
@@ -117,9 +118,8 @@ def _grad_kernel(meta_ref, face_ref, pos_ref, col_ref, out_ref,
     tile_row = tile_y * TILE_H
     tile_col = tile_x * TILE_W
 
-    @pl.when((tile_y == 0) & (tile_x == 0))
-    def _init():
-        out_ref[0, 0] = jnp.zeros_like(out_ref[0, 0])
+    # No kernel-side init: the output aliases a zeros input (SMEM blocks only
+    # allow scalar element access, so a vectorised clear cannot lower).
 
     chunk_hits_tile = ((meta_ref[0, 0, 0, 0] <= tile_row + TILE_H - 1)
                        & (meta_ref[0, 0, 0, 1] >= tile_row)
@@ -256,19 +256,24 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
             pl.BlockSpec((1, TILE_H, TILE_W, 4 + channels),
                          lambda b, c, ty, tx: (b, ty, tx, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, CHUNK, d_out),
+                         lambda b, c, ty, tx: (b, c, 0, 0),
+                         memory_space=pltpu.SMEM),
         ],
-        # SMEM: the kernel accumulates per-face scalars (Mosaic cannot
-        # store scalars to VMEM); the block is only CHUNK * (9 + 3C) floats.
+        # SMEM: the kernel accumulates per-face scalars (Mosaic cannot store
+        # scalars to VMEM); zero-init arrives via the aliased zeros input.
         out_specs=pl.BlockSpec((1, 1, CHUNK, d_out),
                                lambda b, c, ty, tx: (b, c, 0, 0),
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct(
             (batch, num_chunks, CHUNK, d_out), jnp.float32),
+        input_output_aliases={4: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary",
                                  "arbitrary")),
         interpret=interpret,
-    )(chunk_meta, face_data, pos_tab, col_tab)
+    )(chunk_meta, face_data, pos_tab, col_tab,
+      jnp.zeros((batch, num_chunks, CHUNK, d_out), jnp.float32))
 
     # --- tiny face-corner -> vertex scatter (F*3 rows) ---
     face_grads = face_grads.reshape(batch, num_chunks * CHUNK, 3,

@@ -106,3 +106,23 @@ def test_channel_grouping_matches_manual_composition():
         np.asarray(gb), np.concatenate(manual_gb, axis=-1))
     np.testing.assert_array_equal(
         np.asarray(gc), np.concatenate(manual_gc, axis=-1))
+
+
+def test_rasterise_grad_debug_marks_dilated_pixels():
+    # Public debug surface (the reference grad op's debug_thingy image).
+    import dirt_tpu
+    front = np.array([
+        [-0.4, -0.4, 0., 1.], [-0.4, 0.4, 0., 1.],
+        [0.4, 0.4, 0., 1.], [0.4, -0.4, 0., 1.]], np.float32)
+    back = np.array([
+        [-4., -4., 1., 2.], [-4., 4., 1., 2.],
+        [4., 4., 1., 2.], [4., -4., 1., 2.]], np.float32)
+    vertices = np.concatenate([front, back])
+    faces = np.array([[0, 1, 2], [0, 2, 3], [4, 5, 6], [4, 6, 7]], np.int32)
+    colors = np.array([[1., 0., 0.]] * 4 + [[0., 1., 0.]] * 4, np.float32)
+    grads, debug = dirt_tpu.rasterise_grad_debug(
+        jnp.zeros((H, W, 3)), vertices, colors, faces,
+        jnp.ones((H, W, 3)))
+    debug = np.asarray(debug)
+    assert (debug > 0).any(), "no dilation marked at an occlusion boundary"
+    assert grads.grad_vertices.shape == (8, 4)
