@@ -18,6 +18,7 @@ from .rasterise_ops import (
     rasterise_batch,
     rasterise_batch_deferred,
     rasterise_deferred,
+    rasterise_grad_debug,
 )
 
 __all__ = [
@@ -25,6 +26,7 @@ __all__ = [
     "rasterise_batch",
     "rasterise_deferred",
     "rasterise_batch_deferred",
+    "rasterise_grad_debug",
     "matrices",
     "projection",
     "lighting",
