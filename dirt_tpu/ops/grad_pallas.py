@@ -128,17 +128,19 @@ def _grad_kernel(meta_ref, face_ref, pos_ref, col_ref, zeros_ref, out_ref,
 
     @pl.when(chunk_hits_tile)
     def _process():
-        # pos_ref tile layout: (Ax, Ay, Px, Py, bd0, bd1, bd2, face_d)
-        ax = pos_ref[0, :, :, 0]
-        ay = pos_ref[0, :, :, 1]
-        px = pos_ref[0, :, :, 2]
-        py = pos_ref[0, :, :, 3]
-        bd = [pos_ref[0, :, :, 4 + k] for k in range(3)]
-        face_d = pos_ref[0, :, :, 7]
-        # col_ref tile layout: (bp0, bp1, bp2, face_pre, gp[0..C))
-        bp = [col_ref[0, :, :, k] for k in range(3)]
-        face_pre = col_ref[0, :, :, 3]
-        gp = [col_ref[0, :, :, 4 + c] for c in range(channels)]
+        # Channel-major tile layouts: each plane is a clean zero-offset
+        # (TILE_H, TILE_W) block (Mosaic cannot reduce lane-offset slices).
+        # pos planes: (Ax, Ay, Px, Py, bd0, bd1, bd2, face_d)
+        ax = pos_ref[0, 0]
+        ay = pos_ref[0, 1]
+        px = pos_ref[0, 2]
+        py = pos_ref[0, 3]
+        bd = [pos_ref[0, 4 + k] for k in range(3)]
+        face_d = pos_ref[0, 7]
+        # col planes: (bp0, bp1, bp2, face_pre, gp[0..C))
+        bp = [col_ref[0, k] for k in range(3)]
+        face_pre = col_ref[0, 3]
+        gp = [col_ref[0, 4 + c] for c in range(channels)]
 
         def visit_face(j, _):
             face_hits = ((face_ref[0, 0, j, 0] <= tile_row + TILE_H - 1)
@@ -216,20 +218,22 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
     hp, wp = tiles_y * TILE_H, tiles_x * TILE_W
 
     def pad_hw(a):
-        return jnp.pad(a, ((0, 0), (0, hp - height), (0, wp - width))
-                       + ((0, 0),) * (a.ndim - 3))
+        # a: [B, P, H, W] channel-major planes.
+        return jnp.pad(a, ((0, 0), (0, 0), (0, hp - height),
+                           (0, wp - width)))
 
     f32 = lambda a: a.astype(jnp.float32)
+    # Channel-major [B, planes, H, W]: padded-region planes are all zero, so
+    # any spurious face match there contributes exactly zero.
     pos_tab = pad_hw(jnp.stack(
         [ax, ay, px_t, py_t, bary_d[..., 0], bary_d[..., 1], bary_d[..., 2],
-         # Padded pixels must match no face: use -2 (valid faces are >= 0,
-         # background is -1).
-         f32(face_d)], axis=-1))
+         f32(face_d)], axis=1))
     col_tab = pad_hw(jnp.concatenate([
-        jnp.where(covered_pre[..., None], aux.barycentric, 0.0),
-        f32(aux.face_index)[..., None],
-        grad_pixels,
-    ], axis=-1))
+        jnp.moveaxis(jnp.where(covered_pre[..., None], aux.barycentric, 0.0),
+                     -1, 1),
+        f32(aux.face_index)[:, None],
+        jnp.moveaxis(grad_pixels, -1, 1),
+    ], axis=1))
 
     face_data, chunk_meta, sorted_orig = jax.vmap(
         functools.partial(_pack_grad_faces, height=height, width=width,
@@ -250,11 +254,11 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
             pl.BlockSpec((1, 1, CHUNK, _DF),
                          lambda b, c, ty, tx: (b, c, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, TILE_H, TILE_W, 8),
-                         lambda b, c, ty, tx: (b, ty, tx, 0),
+            pl.BlockSpec((1, 8, TILE_H, TILE_W),
+                         lambda b, c, ty, tx: (b, 0, ty, tx),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_H, TILE_W, 4 + channels),
-                         lambda b, c, ty, tx: (b, ty, tx, 0),
+            pl.BlockSpec((1, 4 + channels, TILE_H, TILE_W),
+                         lambda b, c, ty, tx: (b, 0, ty, tx),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, CHUNK, d_out),
                          lambda b, c, ty, tx: (b, c, 0, 0),
