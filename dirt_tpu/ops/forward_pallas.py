@@ -108,8 +108,7 @@ def _pack_faces(vertices, vertex_colors, faces, height, width, num_chunks):
     morton = jnp.where(valid, morton, jnp.int32(np.int32(0x7FFFFFFF)))
     order = jnp.argsort(morton)
 
-    corner_attrs = jnp.transpose(
-        jnp.take(vertex_colors, faces, axis=0), (0, 1, 2))  # [F, 3, C]
+    corner_attrs = jnp.take(vertex_colors, faces, axis=0)  # [F, 3, C]
 
     f32 = lambda a: a.astype(jnp.float32)
     face_data = jnp.concatenate([
@@ -203,6 +202,16 @@ def _raster_kernel(meta_ref, face_ref, background_ref,
         # once per grid step.
 
         def visibility_face(j, state):
+            # Branch around the whole fragment pipeline when the face's bbox
+            # misses the tile: with Morton-sorted chunks most faces miss most
+            # tiles, and the skip is ~10 cycles vs ~100 for the full body.
+            return jax.lax.cond(
+                face_hits_tile(j),
+                lambda s: _visibility_body(j, s),
+                lambda s: s,
+                state)
+
+        def _visibility_body(j, state):
             best_depth, best_orig, best_winner = state
             E0, E1, E2 = edges(j)
             s_z = (E0 * face_ref[0, 0, j, 9] + E1 * face_ref[0, 0, j, 10]
@@ -221,10 +230,6 @@ def _raster_kernel(meta_ref, face_ref, background_ref,
             cov_p = in_p & (s_w > 0) & (s_z >= -s_w) & (s_z <= s_w)
             cov_n = in_n & (s_w < 0) & (s_z <= -s_w) & (s_z >= s_w)
             covered = (cov_p | cov_n) & (face_ref[0, 0, j, 18] != 0.0)
-            # The face-level bbox test folds into the coverage mask (cheaper
-            # than a branch: the vector work happens anyway, but skipped
-            # faces must not overwrite state).
-            covered &= face_hits_tile(j)
             depth = jnp.where(covered, s_z / s_w, jnp.inf)
 
             orig_index = face_ref[0, 0, j, 19].astype(jnp.int32)
@@ -237,9 +242,17 @@ def _raster_kernel(meta_ref, face_ref, background_ref,
                     jnp.where(better, chunk_idx * CHUNK + j, best_winner))
 
         def shading_face(j, state):
+            mask = winner_ref[0] == chunk_idx * CHUNK + j
+            # Only a handful of faces actually win pixels in any given tile:
+            # branch around the interpolation unless this one did.
+            return jax.lax.cond(
+                jnp.any(mask),
+                lambda s: _shading_body(j, mask, s),
+                lambda s: s,
+                state)
+
+        def _shading_body(j, mask, state):
             pix, aux = state
-            winner = winner_ref[0]
-            mask = (winner == chunk_idx * CHUNK + j) & face_hits_tile(j)
             E0, E1, E2 = edges(j)
             s_e = (E0 + E1) + E2
             denom = jnp.where(s_e == 0, 1.0, s_e)
