@@ -8,8 +8,10 @@ Backends:
   * None/"auto": pallas on TPU, reference elsewhere (fast for CPU tests).
 
 Selection can be forced globally with the DIRT_TPU_BACKEND environment
-variable.  Both backends share the `shade_pixels` postprocess, so they agree
-bit-exactly whenever they agree on per-pixel visibility.
+variable.  Both backends implement the fragment semantics of ops/geometry.py:
+winning-face maps match bit-exactly on tie-free scenes, interpolated values
+to FMA-contraction rounding (the fused kernel shades in-kernel; the reference
+backend shades via ops/reference.shade_pixels).
 """
 
 import os

@@ -17,7 +17,6 @@ the two paths directly.
 """
 
 import functools
-import os as _os
 
 import numpy as np
 import jax
