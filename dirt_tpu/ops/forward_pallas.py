@@ -64,12 +64,21 @@ def _part1by1(x):
     return x
 
 
-def _pack_faces(vertices, vertex_colors, faces, height, width, num_chunks):
-    """Packs per-face raster constants + corner attributes for one image.
+def _pack_faces(vertices, vertex_colors, faces, height, width, num_chunks,
+                tiles_y, tiles_x):
+    """Packs per-face raster constants + corner attributes for one image,
+    binned into exact per-tile face lists.
+
+    Every tile gets its own copy of the face table, stably ordered with the
+    faces whose bounding boxes hit the tile FIRST; the kernel then only
+    sweeps `ceil(count / CHUNK)` chunks per tile (the per-tile prefix), which
+    measured ~4x fewer face visits than chunk-level bbox skipping on the
+    benchmark scene.  Memory is O(tiles * faces); for very large meshes at
+    high tile counts raise DIRT_TPU_TILE_H/W.
 
     Returns:
-        face_data: [num_chunks, CHUNK, _BASE + 3 * C] float32 (layout above).
-        chunk_meta: [num_chunks, 1, 4] int32 per-chunk union pixel bbox.
+        face_data: [T, num_chunks, CHUNK, _BASE + 3 * C] float32.
+        counts: [T, 1, 1, 1] int32 -- hit count per tile.
     """
     num_faces = faces.shape[0]
     channels = vertex_colors.shape[-1]
@@ -101,13 +110,6 @@ def _pack_faces(vertices, vertex_colors, faces, height, width, num_chunks):
     row1 = jnp.where(valid, row1, -1)
     col1 = jnp.where(valid, col1, -1)
 
-    # Morton-order spatial sort keeps chunks tight; invalid faces sort last.
-    tcx = jnp.clip((col0 + col1) // 2, 0, width - 1) // TILE_W
-    tcy = jnp.clip((row0 + row1) // 2, 0, height - 1) // TILE_H
-    morton = _part1by1(tcx) | (_part1by1(tcy) << 1)
-    morton = jnp.where(valid, morton, jnp.int32(np.int32(0x7FFFFFFF)))
-    order = jnp.argsort(morton)
-
     corner_attrs = jnp.take(vertex_colors, faces, axis=0)  # [F, 3, C]
 
     f32 = lambda a: a.astype(jnp.float32)
@@ -122,7 +124,6 @@ def _pack_faces(vertices, vertex_colors, faces, height, width, num_chunks):
         f32(faces),
         corner_attrs.reshape(num_faces, 3 * channels),
     ], axis=1)
-    face_data = jnp.take(face_data, order, axis=0)
 
     width_d = _BASE + 3 * channels
     pad_rows = num_chunks * CHUNK - num_faces
@@ -130,25 +131,34 @@ def _pack_faces(vertices, vertex_colors, faces, height, width, num_chunks):
         float(_BIG)).at[22].set(float(_BIG)).at[21].set(-1.0).at[23].set(-1.0)
     face_data = jnp.concatenate(
         [face_data, jnp.tile(pad_value[None], (pad_rows, 1))], axis=0)
-    face_data = face_data.reshape(num_chunks, CHUNK, width_d)
 
-    chunk_meta = jnp.stack([
-        jnp.min(face_data[..., 20], axis=1).astype(jnp.int32),
-        jnp.max(face_data[..., 21], axis=1).astype(jnp.int32),
-        jnp.min(face_data[..., 22], axis=1).astype(jnp.int32),
-        jnp.max(face_data[..., 23], axis=1).astype(jnp.int32),
-    ], axis=1)
-    return face_data, chunk_meta[:, None, :]
+    # Exact per-tile binning: stable hits-first ordering per tile.  Padded
+    # rows have empty bboxes and never hit.
+    tile_r0 = (jnp.arange(tiles_y, dtype=jnp.int32) * TILE_H)
+    tile_c0 = (jnp.arange(tiles_x, dtype=jnp.int32) * TILE_W)
+    hit_rows = ((face_data[None, :, 20] <= (tile_r0 + TILE_H - 1)[:, None])
+                & (face_data[None, :, 21] >= tile_r0[:, None]))   # [Ty, NCK]
+    hit_cols = ((face_data[None, :, 22] <= (tile_c0 + TILE_W - 1)[:, None])
+                & (face_data[None, :, 23] >= tile_c0[:, None]))   # [Tx, NCK]
+    overlap = (hit_rows[:, None, :] & hit_cols[None, :, :]).reshape(
+        tiles_y * tiles_x, -1)                                    # [T, NCK]
+    order = jnp.argsort(jnp.logical_not(overlap), axis=1, stable=True)
+    counts = jnp.sum(overlap, axis=1).astype(jnp.int32)           # [T]
+
+    tiled = jnp.take(face_data, order, axis=0)                    # [T, NCK, D]
+    tiled = tiled.reshape(tiles_y * tiles_x, num_chunks, CHUNK, width_d)
+    return tiled, counts[:, None, None, None]
 
 
-def _raster_kernel(meta_ref, face_ref, background_ref,
+def _raster_kernel(count_ref, face_ref, background_ref,
                    pixels_ref, aux_ref, depth_ref, winner_ref, orig_ref,
-                   *, height, width, num_chunks, channels):
-    step = pl.program_id(3)
+                   *, height, width, num_chunks, channels, tiles_x):
+    step = pl.program_id(2)
     phase2 = step >= num_chunks
     chunk_idx = jax.lax.rem(step, num_chunks)
-    tile_row = pl.program_id(1) * TILE_H
-    tile_col = pl.program_id(2) * TILE_W
+    tile = pl.program_id(1)
+    tile_row = (tile // tiles_x) * TILE_H
+    tile_col = jax.lax.rem(tile, tiles_x) * TILE_W
 
     @pl.when(step == 0)
     def _init_visibility():
@@ -167,12 +177,11 @@ def _raster_kernel(meta_ref, face_ref, background_ref,
         aux_ref[0] = jnp.concatenate(
             [neg, neg, neg, inf, neg, neg, neg, neg], axis=-1)
 
-    chunk_hits_tile = ((meta_ref[0, 0, 0, 0] <= tile_row + TILE_H - 1)
-                       & (meta_ref[0, 0, 0, 1] >= tile_row)
-                       & (meta_ref[0, 0, 0, 2] <= tile_col + TILE_W - 1)
-                       & (meta_ref[0, 0, 0, 3] >= tile_col))
+    # Exact binning: this tile's list holds its hitting faces first; chunks
+    # past ceil(count / CHUNK) contain only non-hitting faces.
+    chunk_active = chunk_idx * CHUNK < count_ref[0, 0, 0, 0, 0]
 
-    @pl.when(chunk_hits_tile)
+    @pl.when(chunk_active)
     def _process_chunk():
         rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
@@ -181,19 +190,13 @@ def _raster_kernel(meta_ref, face_ref, background_ref,
         yg = 1.0 - ((tile_row + rows).astype(jnp.float32) + 0.5) * (2.0 / height)
 
         def edges(j):
-            E0 = (face_ref[0, 0, j, 0] * xg + face_ref[0, 0, j, 1] * yg
-                  + face_ref[0, 0, j, 2])
-            E1 = (face_ref[0, 0, j, 3] * xg + face_ref[0, 0, j, 4] * yg
-                  + face_ref[0, 0, j, 5])
-            E2 = (face_ref[0, 0, j, 6] * xg + face_ref[0, 0, j, 7] * yg
-                  + face_ref[0, 0, j, 8])
+            E0 = (face_ref[0, 0, 0, j, 0] * xg + face_ref[0, 0, 0, j, 1] * yg
+                  + face_ref[0, 0, 0, j, 2])
+            E1 = (face_ref[0, 0, 0, j, 3] * xg + face_ref[0, 0, 0, j, 4] * yg
+                  + face_ref[0, 0, 0, j, 5])
+            E2 = (face_ref[0, 0, 0, j, 6] * xg + face_ref[0, 0, 0, j, 7] * yg
+                  + face_ref[0, 0, 0, j, 8])
             return E0, E1, E2
-
-        def face_hits_tile(j):
-            return ((face_ref[0, 0, j, 20] <= tile_row + TILE_H - 1)
-                    & (face_ref[0, 0, j, 21] >= tile_row)
-                    & (face_ref[0, 0, j, 22] <= tile_col + TILE_W - 1)
-                    & (face_ref[0, 0, j, 23] >= tile_col))
 
         # The z-buffer / framebuffer state rides in fori_loop CARRIES, not in
         # the output refs: a ref read-modify-write per face costs several
@@ -202,25 +205,15 @@ def _raster_kernel(meta_ref, face_ref, background_ref,
         # once per grid step.
 
         def visibility_face(j, state):
-            # Branch around the whole fragment pipeline when the face's bbox
-            # misses the tile: with Morton-sorted chunks most faces miss most
-            # tiles, and the skip is ~10 cycles vs ~100 for the full body.
-            return jax.lax.cond(
-                face_hits_tile(j),
-                lambda s: _visibility_body(j, s),
-                lambda s: s,
-                state)
-
-        def _visibility_body(j, state):
             best_depth, best_orig, best_winner = state
             E0, E1, E2 = edges(j)
-            s_z = (E0 * face_ref[0, 0, j, 9] + E1 * face_ref[0, 0, j, 10]
-                   + E2 * face_ref[0, 0, j, 11])
-            s_w = (E0 * face_ref[0, 0, j, 12] + E1 * face_ref[0, 0, j, 13]
-                   + E2 * face_ref[0, 0, j, 14])
-            a0 = face_ref[0, 0, j, 15] != 0.0
-            a1 = face_ref[0, 0, j, 16] != 0.0
-            a2 = face_ref[0, 0, j, 17] != 0.0
+            s_z = (E0 * face_ref[0, 0, 0, j, 9] + E1 * face_ref[0, 0, 0, j, 10]
+                   + E2 * face_ref[0, 0, 0, j, 11])
+            s_w = (E0 * face_ref[0, 0, 0, j, 12] + E1 * face_ref[0, 0, 0, j, 13]
+                   + E2 * face_ref[0, 0, 0, j, 14])
+            a0 = face_ref[0, 0, 0, j, 15] != 0.0
+            a1 = face_ref[0, 0, 0, j, 16] != 0.0
+            a2 = face_ref[0, 0, 0, j, 17] != 0.0
             in_p = (((E0 > 0) | ((E0 == 0) & a0))
                     & ((E1 > 0) | ((E1 == 0) & a1))
                     & ((E2 > 0) | ((E2 == 0) & a2)))
@@ -229,10 +222,13 @@ def _raster_kernel(meta_ref, face_ref, background_ref,
                     & ((E2 < 0) | ((E2 == 0) & ~a2)))
             cov_p = in_p & (s_w > 0) & (s_z >= -s_w) & (s_z <= s_w)
             cov_n = in_n & (s_w < 0) & (s_z <= -s_w) & (s_z >= s_w)
-            covered = (cov_p | cov_n) & (face_ref[0, 0, j, 18] != 0.0)
+            covered = (cov_p | cov_n) & (face_ref[0, 0, 0, j, 18] != 0.0)
+            # Non-hitting faces in a chunk's tail evaluate to no coverage
+            # anyway; a lax.cond branch around them measured SLOWER (the cond
+            # forces the carried tile registers through branch merges).
             depth = jnp.where(covered, s_z / s_w, jnp.inf)
 
-            orig_index = face_ref[0, 0, j, 19].astype(jnp.int32)
+            orig_index = face_ref[0, 0, 0, j, 19].astype(jnp.int32)
             # GL_LESS + draw-order ties == lexicographic (depth, index).
             better = covered & (
                 (depth < best_depth)
@@ -242,28 +238,19 @@ def _raster_kernel(meta_ref, face_ref, background_ref,
                     jnp.where(better, chunk_idx * CHUNK + j, best_winner))
 
         def shading_face(j, state):
-            mask = winner_ref[0] == chunk_idx * CHUNK + j
-            # Only a handful of faces actually win pixels in any given tile:
-            # branch around the interpolation unless this one did.
-            return jax.lax.cond(
-                jnp.any(mask),
-                lambda s: _shading_body(j, mask, s),
-                lambda s: s,
-                state)
-
-        def _shading_body(j, mask, state):
             pix, aux = state
+            mask = winner_ref[0] == chunk_idx * CHUNK + j
             E0, E1, E2 = edges(j)
             s_e = (E0 + E1) + E2
             denom = jnp.where(s_e == 0, 1.0, s_e)
-            s_w = (E0 * face_ref[0, 0, j, 12] + E1 * face_ref[0, 0, j, 13]
-                   + E2 * face_ref[0, 0, j, 14])
+            s_w = (E0 * face_ref[0, 0, 0, j, 12] + E1 * face_ref[0, 0, 0, j, 13]
+                   + E2 * face_ref[0, 0, 0, j, 14])
 
             pix_planes = []
             for ch in range(channels):
-                num = ((E0 * face_ref[0, 0, j, _BASE + ch]
-                        + E1 * face_ref[0, 0, j, _BASE + channels + ch])
-                       + E2 * face_ref[0, 0, j, _BASE + 2 * channels + ch])
+                num = ((E0 * face_ref[0, 0, 0, j, _BASE + ch]
+                        + E1 * face_ref[0, 0, 0, j, _BASE + channels + ch])
+                       + E2 * face_ref[0, 0, 0, j, _BASE + 2 * channels + ch])
                 pix_planes.append(jnp.where(mask, num / denom, pix[ch]))
 
             aux_planes = [
@@ -271,10 +258,10 @@ def _raster_kernel(meta_ref, face_ref, background_ref,
                 jnp.where(mask, E1 / denom, aux[1]),
                 jnp.where(mask, E2 / denom, aux[2]),
                 jnp.where(mask, s_w / denom, aux[3]),
-                jnp.where(mask, face_ref[0, 0, j, 24], aux[4]),
-                jnp.where(mask, face_ref[0, 0, j, 25], aux[5]),
-                jnp.where(mask, face_ref[0, 0, j, 26], aux[6]),
-                jnp.where(mask, face_ref[0, 0, j, 19], aux[7]),
+                jnp.where(mask, face_ref[0, 0, 0, j, 24], aux[4]),
+                jnp.where(mask, face_ref[0, 0, 0, j, 25], aux[5]),
+                jnp.where(mask, face_ref[0, 0, 0, j, 26], aux[6]),
+                jnp.where(mask, face_ref[0, 0, 0, j, 19], aux[7]),
             ]
             return tuple(pix_planes), tuple(aux_planes)
 
@@ -331,9 +318,10 @@ def rasterise_batch(background, vertices, vertex_colors, faces,
     hp, wp = tiles_y * TILE_H, tiles_x * TILE_W
     width_d = _BASE + 3 * channels
 
-    face_data, chunk_meta = jax.vmap(
+    face_data, counts = jax.vmap(
         functools.partial(_pack_faces, height=height, width=width,
-                          num_chunks=num_chunks))(
+                          num_chunks=num_chunks, tiles_y=tiles_y,
+                          tiles_x=tiles_x))(
         vertices, vertex_colors, faces)
 
     background_p = jnp.pad(
@@ -341,39 +329,34 @@ def rasterise_batch(background, vertices, vertex_colors, faces,
 
     kernel = functools.partial(
         _raster_kernel, height=height, width=width, num_chunks=num_chunks,
-        channels=channels)
+        channels=channels, tiles_x=tiles_x)
 
-    grid = (batch, tiles_y, tiles_x, 2 * num_chunks)
+    pix_spec = lambda last: pl.BlockSpec(
+        (1, TILE_H, TILE_W) + (() if last is None else (last,)),
+        (lambda b, t, c: (b, t // tiles_x, t % tiles_x))
+        if last is None else
+        (lambda b, t, c: (b, t // tiles_x, t % tiles_x, 0)),
+        memory_space=pltpu.VMEM)
+
+    grid = (batch, tiles_y * tiles_x, 2 * num_chunks)
     pixels, aux8, _, _, _ = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, 1, 4),
-                         lambda b, ty, tx, c: (b, c % num_chunks, 0, 0),
+            pl.BlockSpec((1, 1, 1, 1, 1),
+                         lambda b, t, c: (b, t, 0, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, CHUNK, width_d),
-                         lambda b, ty, tx, c: (b, c % num_chunks, 0, 0),
+            pl.BlockSpec((1, 1, 1, CHUNK, width_d),
+                         lambda b, t, c: (b, t, c % num_chunks, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, TILE_H, TILE_W, channels),
-                         lambda b, ty, tx, c: (b, ty, tx, 0),
-                         memory_space=pltpu.VMEM),
+            pix_spec(channels),
         ],
         out_specs=[
-            pl.BlockSpec((1, TILE_H, TILE_W, channels),
-                         lambda b, ty, tx, c: (b, ty, tx, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_H, TILE_W, 8),
-                         lambda b, ty, tx, c: (b, ty, tx, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_H, TILE_W),
-                         lambda b, ty, tx, c: (b, ty, tx),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_H, TILE_W),
-                         lambda b, ty, tx, c: (b, ty, tx),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_H, TILE_W),
-                         lambda b, ty, tx, c: (b, ty, tx),
-                         memory_space=pltpu.VMEM),
+            pix_spec(channels),
+            pix_spec(8),
+            pix_spec(None),
+            pix_spec(None),
+            pix_spec(None),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((batch, hp, wp, channels), jnp.float32),
@@ -383,10 +366,9 @@ def rasterise_batch(background, vertices, vertex_colors, faces,
             jax.ShapeDtypeStruct((batch, hp, wp), jnp.int32),     # orig idx
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
-    )(chunk_meta, face_data, background_p)
+    )(counts, face_data, background_p)
 
     pixels = pixels[:, :height, :width]
     aux8 = aux8[:, :height, :width]

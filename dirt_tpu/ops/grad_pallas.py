@@ -37,11 +37,14 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
-def _pack_grad_faces(vertices, faces, height, width, num_chunks):
-    """Face table for the gradient kernel (Morton-sorted, like the forward).
+def _pack_grad_faces(vertices, faces, height, width, num_chunks, tiles_y,
+                     tiles_x):
+    """Face table for the gradient kernel: exact per-tile hits-first lists
+    (see forward_pallas._pack_faces), with bboxes widened one pixel for
+    dilation support.
 
-    Returns (face_data [NC, CHUNK, _DF] f32, chunk_meta [NC, 1, 4] i32,
-    sorted_orig [NC * CHUNK] i32 mapping kernel rows to original faces).
+    Returns (face_data [T, NC, CHUNK, _DF] f32, counts [T, 1, 1, 1, 1] i32,
+    sorted_orig [T, NC * CHUNK] i32 mapping kernel rows to original faces).
     """
     num_faces = faces.shape[0]
     setup = geometry.face_setup(vertices, faces)
@@ -70,13 +73,6 @@ def _pack_grad_faces(vertices, faces, height, width, num_chunks):
     row1 = jnp.where(valid, row1, -1)
     col1 = jnp.where(valid, col1, -1)
 
-    tcx = jnp.clip((col0 + col1) // 2, 0, width - 1) // TILE_W
-    tcy = jnp.clip((row0 + row1) // 2, 0, height - 1) // TILE_H
-    morton = (forward_pallas._part1by1(tcx)
-              | (forward_pallas._part1by1(tcy) << 1))
-    morton = jnp.where(valid, morton, jnp.int32(np.int32(0x7FFFFFFF)))
-    order = jnp.argsort(morton)
-
     f32 = lambda a: a.astype(jnp.float32)
     face_data = jnp.concatenate([
         f32(row0)[:, None], f32(row1)[:, None],
@@ -86,46 +82,44 @@ def _pack_grad_faces(vertices, faces, height, width, num_chunks):
         corners[..., 0],    # x0 x1 x2
         corners[..., 1],    # y0 y1 y2
     ], axis=1)
-    face_data = jnp.take(face_data, order, axis=0)
-    sorted_orig = jnp.take(jnp.arange(num_faces, dtype=jnp.int32), order)
-
     pad_rows = num_chunks * CHUNK - num_faces
     pad_value = jnp.zeros((_DF,), jnp.float32).at[0].set(float(_BIG)).at[
         2].set(float(_BIG)).at[1].set(-1.0).at[3].set(-1.0).at[4].set(-1.0)
     face_data = jnp.concatenate(
         [face_data, jnp.tile(pad_value[None], (pad_rows, 1))], axis=0)
-    sorted_orig = jnp.concatenate(
-        [sorted_orig, jnp.zeros((pad_rows,), jnp.int32)])
-    face_data = face_data.reshape(num_chunks, CHUNK, _DF)
+    base_orig = jnp.concatenate(
+        [jnp.arange(num_faces, dtype=jnp.int32),
+         jnp.zeros((pad_rows,), jnp.int32)])
 
-    chunk_meta = jnp.stack([
-        jnp.min(face_data[..., 0], axis=1).astype(jnp.int32),
-        jnp.max(face_data[..., 1], axis=1).astype(jnp.int32),
-        jnp.min(face_data[..., 2], axis=1).astype(jnp.int32),
-        jnp.max(face_data[..., 3], axis=1).astype(jnp.int32),
-    ], axis=1)
-    return face_data, chunk_meta[:, None, :], sorted_orig
+    tile_r0 = jnp.arange(tiles_y, dtype=jnp.int32) * TILE_H
+    tile_c0 = jnp.arange(tiles_x, dtype=jnp.int32) * TILE_W
+    hit_rows = ((face_data[None, :, 0] <= (tile_r0 + TILE_H - 1)[:, None])
+                & (face_data[None, :, 1] >= tile_r0[:, None]))
+    hit_cols = ((face_data[None, :, 2] <= (tile_c0 + TILE_W - 1)[:, None])
+                & (face_data[None, :, 3] >= tile_c0[:, None]))
+    overlap = (hit_rows[:, None, :] & hit_cols[None, :, :]).reshape(
+        tiles_y * tiles_x, -1)
+    order = jnp.argsort(jnp.logical_not(overlap), axis=1, stable=True)
+    counts = jnp.sum(overlap, axis=1).astype(jnp.int32)
+
+    tiled = jnp.take(face_data, order, axis=0).reshape(
+        tiles_y * tiles_x, num_chunks, CHUNK, _DF)
+    sorted_orig = jnp.take(base_orig, order, axis=0)   # [T, NCK]
+    return tiled, counts[:, None, None, None], sorted_orig
 
 
-def _grad_kernel(meta_ref, face_ref, pos_ref, col_ref, zeros_ref, out_ref,
-                 *, num_chunks, channels, tiles_y, tiles_x):
+def _grad_kernel(count_ref, face_ref, pos_ref, col_ref, zeros_ref, out_ref,
+                 *, num_chunks, channels, tiles_x):
     del zeros_ref  # aliased to out_ref; provides the zero initialisation
-    # grid: (batch, chunk, tile_y, tile_x); the [CHUNK, D_out] output block
-    # for a chunk stays resident across its tile sweep.
-    tile_y = pl.program_id(2)
-    tile_x = pl.program_id(3)
-    tile_row = tile_y * TILE_H
-    tile_col = tile_x * TILE_W
+    # grid: (batch, tile, chunk); each (tile, chunk) owns its output block.
+    chunk_idx = pl.program_id(2)
 
     # No kernel-side init: the output aliases a zeros input (SMEM blocks only
     # allow scalar element access, so a vectorised clear cannot lower).
 
-    chunk_hits_tile = ((meta_ref[0, 0, 0, 0] <= tile_row + TILE_H - 1)
-                       & (meta_ref[0, 0, 0, 1] >= tile_row)
-                       & (meta_ref[0, 0, 0, 2] <= tile_col + TILE_W - 1)
-                       & (meta_ref[0, 0, 0, 3] >= tile_col))
+    chunk_active = chunk_idx * CHUNK < count_ref[0, 0, 0, 0, 0]
 
-    @pl.when(chunk_hits_tile)
+    @pl.when(chunk_active)
     def _process():
         # Channel-major tile layouts: each plane is a clean zero-offset
         # (TILE_H, TILE_W) block (Mosaic cannot reduce lane-offset slices).
@@ -142,32 +136,29 @@ def _grad_kernel(meta_ref, face_ref, pos_ref, col_ref, zeros_ref, out_ref,
         gp = [col_ref[0, 4 + c] for c in range(channels)]
 
         def visit_face(j, _):
-            face_hits = ((face_ref[0, 0, j, 0] <= tile_row + TILE_H - 1)
-                         & (face_ref[0, 0, j, 1] >= tile_row)
-                         & (face_ref[0, 0, j, 2] <= tile_col + TILE_W - 1)
-                         & (face_ref[0, 0, j, 3] >= tile_col))
+            valid = face_ref[0, 0, 0, j, 5] != 0.0
 
-            @pl.when(face_hits)
+            @pl.when(valid)
             def _():
-                fid = face_ref[0, 0, j, 4]
+                fid = face_ref[0, 0, 0, j, 4]
                 mask_d = face_d == fid
-                cx = (bd[0] * face_ref[0, 0, j, 6]
-                      + bd[1] * face_ref[0, 0, j, 7]
-                      + bd[2] * face_ref[0, 0, j, 8])
-                cy = (bd[0] * face_ref[0, 0, j, 9]
-                      + bd[1] * face_ref[0, 0, j, 10]
-                      + bd[2] * face_ref[0, 0, j, 11])
+                cx = (bd[0] * face_ref[0, 0, 0, j, 6]
+                      + bd[1] * face_ref[0, 0, 0, j, 7]
+                      + bd[2] * face_ref[0, 0, 0, j, 8])
+                cy = (bd[0] * face_ref[0, 0, 0, j, 9]
+                      + bd[1] * face_ref[0, 0, 0, j, 10]
+                      + bd[2] * face_ref[0, 0, 0, j, 11])
                 p = px * cx + py * cy
                 mask_pre = face_pre == fid
                 stride = 3 + channels   # corner-major rows: gx gy gw gc...
                 for k in range(3):
                     wd = jnp.where(mask_d, bd[k], 0.0)
-                    out_ref[0, 0, j, k * stride + 0] += jnp.sum(wd * ax)
-                    out_ref[0, 0, j, k * stride + 1] += jnp.sum(wd * ay)
-                    out_ref[0, 0, j, k * stride + 2] += -jnp.sum(wd * p)
+                    out_ref[0, 0, 0, j, k * stride + 0] += jnp.sum(wd * ax)
+                    out_ref[0, 0, 0, j, k * stride + 1] += jnp.sum(wd * ay)
+                    out_ref[0, 0, 0, j, k * stride + 2] += -jnp.sum(wd * p)
                     wp = jnp.where(mask_pre, bp[k], 0.0)
                     for c in range(channels):
-                        out_ref[0, 0, j, k * stride + 3 + c] += jnp.sum(
+                        out_ref[0, 0, 0, j, k * stride + 3 + c] += jnp.sum(
                             wp * gp[c])
             return 0
 
@@ -234,55 +225,57 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
         jnp.moveaxis(grad_pixels, -1, 1),
     ], axis=1))
 
-    face_data, chunk_meta, sorted_orig = jax.vmap(
+    num_tiles = tiles_y * tiles_x
+    face_data, counts, sorted_orig = jax.vmap(
         functools.partial(_pack_grad_faces, height=height, width=width,
-                          num_chunks=num_chunks))(vertices, faces)
+                          num_chunks=num_chunks, tiles_y=tiles_y,
+                          tiles_x=tiles_x))(vertices, faces)
 
     d_out = 9 + 3 * channels
     kernel = functools.partial(
         _grad_kernel, num_chunks=num_chunks, channels=channels,
-        tiles_y=tiles_y, tiles_x=tiles_x)
+        tiles_x=tiles_x)
 
     face_grads = pl.pallas_call(
         kernel,
-        grid=(batch, num_chunks, tiles_y, tiles_x),
+        grid=(batch, num_tiles, num_chunks),
         in_specs=[
-            pl.BlockSpec((1, 1, 1, 4),
-                         lambda b, c, ty, tx: (b, c, 0, 0),
+            pl.BlockSpec((1, 1, 1, 1, 1),
+                         lambda b, t, c: (b, t, 0, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, CHUNK, _DF),
-                         lambda b, c, ty, tx: (b, c, 0, 0),
+            pl.BlockSpec((1, 1, 1, CHUNK, _DF),
+                         lambda b, t, c: (b, t, c, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 8, TILE_H, TILE_W),
-                         lambda b, c, ty, tx: (b, 0, ty, tx),
+                         lambda b, t, c: (b, 0, t // tiles_x, t % tiles_x),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4 + channels, TILE_H, TILE_W),
-                         lambda b, c, ty, tx: (b, 0, ty, tx),
+                         lambda b, t, c: (b, 0, t // tiles_x, t % tiles_x),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, CHUNK, d_out),
-                         lambda b, c, ty, tx: (b, c, 0, 0),
+            pl.BlockSpec((1, 1, 1, CHUNK, d_out),
+                         lambda b, t, c: (b, t, c, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
         # SMEM: the kernel accumulates per-face scalars (Mosaic cannot store
         # scalars to VMEM); zero-init arrives via the aliased zeros input.
-        out_specs=pl.BlockSpec((1, 1, CHUNK, d_out),
-                               lambda b, c, ty, tx: (b, c, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, 1, CHUNK, d_out),
+                               lambda b, t, c: (b, t, c, 0, 0),
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct(
-            (batch, num_chunks, CHUNK, d_out), jnp.float32),
+            (batch, num_tiles, num_chunks, CHUNK, d_out), jnp.float32),
         input_output_aliases={4: 0},
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary",
-                                 "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
-    )(chunk_meta, face_data, pos_tab, col_tab,
-      jnp.zeros((batch, num_chunks, CHUNK, d_out), jnp.float32))
+    )(counts, face_data, pos_tab, col_tab,
+      jnp.zeros((batch, num_tiles, num_chunks, CHUNK, d_out), jnp.float32))
 
-    # --- tiny face-corner -> vertex scatter (F*3 rows) ---
-    face_grads = face_grads.reshape(batch, num_chunks * CHUNK, 3,
-                                    3 + channels)
+    # --- tiny face-corner -> vertex scatter (T*F rows, face-count sized) ---
+    face_grads = face_grads.reshape(
+        batch, num_tiles * num_chunks * CHUNK, 3, 3 + channels)
     corner_vids = jnp.take_along_axis(
-        faces, sorted_orig[..., None], axis=1)          # [B, NC*K, 3]
+        faces, sorted_orig.reshape(batch, -1)[..., None],
+        axis=1)                                         # [B, T*NC*K, 3]
     batch_offsets = (jnp.arange(batch, dtype=jnp.int32)
                      * num_vertices)[:, None, None]
     seg = (corner_vids + batch_offsets).reshape(-1)
