@@ -107,15 +107,17 @@ def main():
 
     short, long_ = make_runner(iters), make_runner(iters * 3)
 
-    def timed(fn):
+    def timed(fn, nonce):
         out = fn(clip)
         jax.block_until_ready(out)          # warm up / compile
+        # Time with a DIFFERENT input: the remote-execution relay returns
+        # cached results for repeated identical (executable, input) pairs.
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(clip))
+        jax.block_until_ready(fn(clip + nonce))
         return time.perf_counter() - t0
 
-    t_short = timed(short)
-    t_long = timed(long_)
+    t_short = timed(short, 1e-6)
+    t_long = timed(long_, 2e-6)
     per_step = max((t_long - t_short) / (2 * iters), 1e-9)
     frames_per_sec = batch / per_step
     vs_baseline = (frames_per_sec / ROUND1_ANCHOR) if ROUND1_ANCHOR else 1.0
