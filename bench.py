@@ -108,13 +108,15 @@ def main():
     short, long_ = make_runner(iters), make_runner(iters * 3)
 
     def timed(fn, nonce):
-        out = fn(clip)
-        jax.block_until_ready(out)          # warm up / compile
-        # Time with a DIFFERENT input: the remote-execution relay returns
-        # cached results for repeated identical (executable, input) pairs.
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(clip + nonce))
-        return time.perf_counter() - t0
+        jax.block_until_ready(fn(clip))     # warm up / compile
+        # Fresh input per call (a remote-execution relay may cache identical
+        # (executable, input) pairs); min over repeats tames dispatch jitter.
+        times = []
+        for k in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(clip + nonce * (k + 1)))
+            times.append(time.perf_counter() - t0)
+        return min(times)
 
     t_short = timed(short, 1e-6)
     t_long = timed(long_, 2e-6)

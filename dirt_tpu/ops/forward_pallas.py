@@ -265,16 +265,21 @@ def _raster_kernel(count_ref, face_ref, background_ref,
             ]
             return tuple(pix_planes), tuple(aux_planes)
 
+        # Hits-first ordering makes the live region a prefix: loop only the
+        # faces that actually hit this tile (dynamic trip count).
+        n_live = jnp.minimum(
+            CHUNK, count_ref[0, 0, 0, 0, 0] - chunk_idx * CHUNK)
+
         def run_visibility():
             state = (depth_ref[0], orig_ref[0], winner_ref[0])
-            state = jax.lax.fori_loop(0, CHUNK, visibility_face, state)
+            state = jax.lax.fori_loop(0, n_live, visibility_face, state)
             depth_ref[0], orig_ref[0], winner_ref[0] = state
 
         def run_shading():
             pix = tuple(pixels_ref[0, :, :, ch] for ch in range(channels))
             aux = tuple(aux_ref[0, :, :, k] for k in range(8))
             pix, aux = jax.lax.fori_loop(
-                0, CHUNK, shading_face, (pix, aux))
+                0, n_live, shading_face, (pix, aux))
             for ch in range(channels):
                 pixels_ref[0, :, :, ch] = pix[ch]
             for k in range(8):

@@ -136,33 +136,33 @@ def _grad_kernel(count_ref, face_ref, pos_ref, col_ref, zeros_ref, out_ref,
         gp = [col_ref[0, 4 + c] for c in range(channels)]
 
         def visit_face(j, _):
-            valid = face_ref[0, 0, 0, j, 5] != 0.0
-
-            @pl.when(valid)
-            def _():
-                fid = face_ref[0, 0, 0, j, 4]
-                mask_d = face_d == fid
-                cx = (bd[0] * face_ref[0, 0, 0, j, 6]
-                      + bd[1] * face_ref[0, 0, 0, j, 7]
-                      + bd[2] * face_ref[0, 0, 0, j, 8])
-                cy = (bd[0] * face_ref[0, 0, 0, j, 9]
-                      + bd[1] * face_ref[0, 0, 0, j, 10]
-                      + bd[2] * face_ref[0, 0, 0, j, 11])
-                p = px * cx + py * cy
-                mask_pre = face_pre == fid
-                stride = 3 + channels   # corner-major rows: gx gy gw gc...
-                for k in range(3):
-                    wd = jnp.where(mask_d, bd[k], 0.0)
-                    out_ref[0, 0, 0, j, k * stride + 0] += jnp.sum(wd * ax)
-                    out_ref[0, 0, 0, j, k * stride + 1] += jnp.sum(wd * ay)
-                    out_ref[0, 0, 0, j, k * stride + 2] += -jnp.sum(wd * p)
-                    wp = jnp.where(mask_pre, bp[k], 0.0)
-                    for c in range(channels):
-                        out_ref[0, 0, 0, j, k * stride + 3 + c] += jnp.sum(
-                            wp * gp[c])
+            # j < n_live implies the face hits this tile and is valid
+            # (hits-first ordering; invalid faces have empty bboxes).
+            fid = face_ref[0, 0, 0, j, 4]
+            mask_d = face_d == fid
+            cx = (bd[0] * face_ref[0, 0, 0, j, 6]
+                  + bd[1] * face_ref[0, 0, 0, j, 7]
+                  + bd[2] * face_ref[0, 0, 0, j, 8])
+            cy = (bd[0] * face_ref[0, 0, 0, j, 9]
+                  + bd[1] * face_ref[0, 0, 0, j, 10]
+                  + bd[2] * face_ref[0, 0, 0, j, 11])
+            p = px * cx + py * cy
+            mask_pre = face_pre == fid
+            stride = 3 + channels   # corner-major rows: gx gy gw gc...
+            for k in range(3):
+                wd = jnp.where(mask_d, bd[k], 0.0)
+                out_ref[0, 0, 0, j, k * stride + 0] += jnp.sum(wd * ax)
+                out_ref[0, 0, 0, j, k * stride + 1] += jnp.sum(wd * ay)
+                out_ref[0, 0, 0, j, k * stride + 2] += -jnp.sum(wd * p)
+                wp = jnp.where(mask_pre, bp[k], 0.0)
+                for c in range(channels):
+                    out_ref[0, 0, 0, j, k * stride + 3 + c] += jnp.sum(
+                        wp * gp[c])
             return 0
 
-        jax.lax.fori_loop(0, CHUNK, visit_face, 0)
+        n_live = jnp.minimum(
+            CHUNK, count_ref[0, 0, 0, 0, 0] - chunk_idx * CHUNK)
+        jax.lax.fori_loop(0, n_live, visit_face, 0)
 
 
 def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
