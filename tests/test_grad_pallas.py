@@ -71,3 +71,25 @@ def test_many_faces_multiple_chunks_grads_match():
     gp = rng.randn(1, 64, 128, 3).astype(np.float32)
     _compare(jnp.asarray(v), jnp.asarray(f), jnp.asarray(colors),
              jnp.asarray(bg), jnp.asarray(gp))
+
+
+def test_deferred_path_with_pallas_grads(monkeypatch):
+    # End-to-end deferred shading with the face-major gradient kernel
+    # (interpret mode on CPU) selected via the env knob.
+    import jax
+    import dirt_tpu
+    monkeypatch.setenv("DIRT_TPU_GRAD_BACKEND", "pallas")
+    rng = np.random.RandomState(0)
+    verts, faces, front, back = meshes.two_squares()
+    attrs = jnp.asarray(rng.uniform(size=(8, 3)).astype(np.float32))
+    bg = jnp.asarray(rng.uniform(size=(24, 32, 3)).astype(np.float32))
+    shader = lambda g: g ** 2 + 0.1 * g
+
+    def loss(a):
+        return jnp.sum(dirt_tpu.rasterise_deferred(
+            bg, jnp.asarray(verts), a, jnp.asarray(faces), shader_fn=shader))
+
+    g_pallas = np.asarray(jax.grad(loss)(attrs))
+    monkeypatch.setenv("DIRT_TPU_GRAD_BACKEND", "xla")
+    g_xla = np.asarray(jax.grad(loss)(attrs))
+    np.testing.assert_allclose(g_pallas, g_xla, rtol=1e-4, atol=1e-5)
