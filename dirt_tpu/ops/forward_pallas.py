@@ -5,10 +5,11 @@ reference (triangle setup + raster units + depth test + attribute
 interpolation, csrc/rasterise_egl.cpp:362-380, csrc/shaders.cpp:16-43): one
 `pl.pallas_call` over a (batch, tile_row, tile_col, 2 * face_chunk) grid.
 
-Phase 1 (first num_chunks steps per tile): z-buffered visibility.  Each step
-loops one Morton-sorted face chunk against the resident VMEM depth/winner
-tiles, with chunk- and face-level bounding-box skips.  Depth ties resolve to
-the smallest *original* face index (GL draw order).
+Phase 1 (first num_chunks steps per tile): z-buffered visibility.  Faces are
+binned into exact per-tile lists (stable hits-first ordering + a hit count),
+so each tile sweeps only its own faces; the z-buffer rides fori_loop carries
+in vector registers.  Depth ties resolve to the smallest *original* face
+index (GL draw order).
 
 Phase 2 (second num_chunks steps): face-major shading.  Each face blends its
 perspective-correct interpolated attributes into the pixel tile wherever the

@@ -7,7 +7,8 @@ formulation uses segment_sum, which lowers to scatter and costs ~20 ms per
 3.1M rows on TPU v5e).  This kernel inverts the loop: the Scharr responses
 and occluder dilation stay as cheap elementwise XLA, but the scatters become
 face-major masked *reductions* -- for each (face chunk, image tile) the kernel
-sums each face's pixel contributions over the tile with a winner-mask, so all
+sums each face's pixel contributions over the tile with a winner-mask (faces
+binned into exact per-tile hits-first lists, like the forward kernel), so all
 accumulation is dense VPU work and the only remaining scatter is a tiny
 face-count-sized segment_sum from face corners to vertices.
 
