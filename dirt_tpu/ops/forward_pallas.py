@@ -36,7 +36,7 @@ from . import geometry, reference
 
 TILE_H = int(_os.environ.get("DIRT_TPU_TILE_H", 32))
 TILE_W = int(_os.environ.get("DIRT_TPU_TILE_W", 128))
-CHUNK = int(_os.environ.get("DIRT_TPU_CHUNK", 128))   # faces per grid step
+CHUNK = int(_os.environ.get("DIRT_TPU_CHUNK", 512))   # faces per grid step
 _BASE = 27           # packed floats per face before corner attributes
 _BIG = np.int32(1 << 30)
 

@@ -27,9 +27,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import backward, forward_pallas, geometry
 
+import os as _os
+
 TILE_H = forward_pallas.TILE_H
 TILE_W = forward_pallas.TILE_W
-CHUNK = forward_pallas.CHUNK
+# The gradient kernel's SMEM accumulator block scales with its chunk size;
+# it tops out lower than the forward kernel's sweet spot.
+CHUNK = int(_os.environ.get("DIRT_TPU_GRAD_CHUNK", 128))
 _BIG = forward_pallas._BIG
 _DF = 12   # face-table floats: bbox(4), orig idx, valid, corner x0 y0 x1 y1 x2 y2
 
