@@ -28,7 +28,7 @@ from dirt_tpu.utils import meshes
 # Throughput of a V100 running the reference at this config is the north-star
 # comparison (BASELINE.json); no published number exists, so vs_baseline is
 # reported against this locally-measured round-1 anchor once recorded.
-ROUND1_ANCHOR = None  # frames/sec/chip measured in round 1; see BENCH_r1.json
+ROUND1_ANCHOR = 520.9  # frames/sec/chip measured in round 1 (TPU v5e)
 
 
 def build_scene(batch, resolution, segments):
