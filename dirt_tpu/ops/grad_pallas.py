@@ -137,11 +137,16 @@ def _grad_kernel(count_ref, fid_ref, pos_ref, col_ref, pos_out, col_out,
             mask_p = (face_p_row == fid_col).astype(jnp.float32)
             vpos_row = pos_ref[0, 2:, r, :]                 # [NPOS, TW]
             vcol_row = col_ref[0, :, r, :]                  # [n_col, TW]
+            # HIGHEST precision: the default single-bf16-pass matmul loses
+            # ~3 decimal digits of the value planes (masks are exact either
+            # way); gradients must match the f32 reference path.
             acc_pos = acc_pos + jax.lax.dot_general(
                 mask_d, vpos_row, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)
             acc_col = acc_col + jax.lax.dot_general(
                 mask_p, vcol_row, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)
             return acc_pos, acc_col
 
