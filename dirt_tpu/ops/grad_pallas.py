@@ -128,9 +128,10 @@ def _grad_kernel(count_ref, fid_ref, pos_ref, col_ref, pos_out, col_out,
     @pl.when(active)
     def _process():
         fid_col = fid_ref[0, 0, 0]                      # [CHUNK, 1]
+        lanes = 4   # independent accumulators: the MXU is latency-bound on a
+                    # single accumulate dependency chain
 
-        def row_body(r, acc):
-            acc_pos, acc_col = acc
+        def one_row(r):
             face_d_row = pos_ref[0, 0, r, :][None, :]       # [1, TW]
             face_p_row = pos_ref[0, 1, r, :][None, :]
             mask_d = (face_d_row == fid_col).astype(jnp.float32)  # [K, TW]
@@ -140,21 +141,30 @@ def _grad_kernel(count_ref, fid_ref, pos_ref, col_ref, pos_out, col_out,
             # HIGHEST precision: the default single-bf16-pass matmul loses
             # ~3 decimal digits of the value planes (masks are exact either
             # way); gradients must match the f32 reference path.
-            acc_pos = acc_pos + jax.lax.dot_general(
+            s_pos = jax.lax.dot_general(
                 mask_d, vpos_row, (((1,), (1,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)
-            acc_col = acc_col + jax.lax.dot_general(
+            s_col = jax.lax.dot_general(
                 mask_p, vcol_row, (((1,), (1,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)
-            return acc_pos, acc_col
+            return s_pos, s_col
 
-        acc = (jnp.zeros((CHUNK, _NPOS), jnp.float32),
-               jnp.zeros((CHUNK, n_col), jnp.float32))
-        acc_pos, acc_col = jax.lax.fori_loop(0, TILE_H, row_body, acc)
-        pos_out[0, 0] = acc_pos
-        col_out[0, 0] = acc_col
+        def row_body(i, acc):
+            new = []
+            for lane in range(lanes):
+                acc_pos, acc_col = acc[lane]
+                s_pos, s_col = one_row(i * lanes + lane)
+                new.append((acc_pos + s_pos, acc_col + s_col))
+            return tuple(new)
+
+        zeros = lambda: (jnp.zeros((CHUNK, _NPOS), jnp.float32),
+                         jnp.zeros((CHUNK, n_col), jnp.float32))
+        acc = jax.lax.fori_loop(0, TILE_H // lanes, row_body,
+                                tuple(zeros() for _ in range(lanes)))
+        pos_out[0, 0] = sum(a for a, _ in acc)
+        col_out[0, 0] = sum(c for _, c in acc)
 
 
 def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
