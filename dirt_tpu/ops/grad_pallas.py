@@ -1,38 +1,24 @@
-"""Face-major Pallas TPU kernel for the gradient scatters (MXU formulation).
+"""Face-major Pallas TPU kernel for the gradient scatters.
 
 The analytic backward pass (ops/backward.py) ends in two large scatter-adds:
-per-pixel bary-weighted contributions into grad_vertices / grad_vertex_colors
-(atomicAdd in the reference, rasterise_grad_egl.cu:140,228-230; segment_sum
-in the XLA path, ~20 ms per 3.1M rows on TPU v5e).  This kernel inverts the
-loop and feeds the MXU:
+per-pixel, bary-weighted contributions into grad_vertices / grad_vertex_colors
+(the reference uses atomicAdd, rasterise_grad_egl.cu:140,228-230; the XLA
+formulation uses segment_sum, which lowers to scatter and costs ~20 ms per
+3.1M rows on TPU v5e).  This kernel inverts the loop: the Scharr responses
+and occluder dilation stay as cheap elementwise XLA, but the scatters become
+face-major masked *reductions* -- for each (face chunk, image tile) the kernel
+sums each face's pixel contributions over the tile with a winner-mask, so all
+accumulation is dense VPU work and the only remaining scatter is a tiny
+face-count-sized segment_sum from face corners to vertices.
 
-  * XLA pre-pass (cheap, elementwise): Scharr, occluder dilation, and a set
-    of face-INDEPENDENT per-pixel value planes
-        b_k * Ax, b_k * Ay                       (position x/y terms)
-        b_k * b_m * Px, b_k * b_m * Py           (clip-w chain-rule terms)
-        bpre_k * grad_pixels_c                   (colour terms)
-    with Ax = dl_dx * (W/2) / clip_w, Px = dl_dx * (W/2) / clip_w^2, etc.
-    The face-specific corner clip x/y multiplying the Q terms factors OUT of
-    the pixel sums (clip_x = sum_m b_m x_m), so every sum the gradient needs
-    is a masked reduction of a face-independent plane.
-  * Kernel: for each (tile, face chunk), build the winner-mask matrix
-    M[face, pixel] by comparing the tile's face-id map against the chunk's
-    face-id vector and compute ALL masked sums at once as the contraction
-    S = M @ V -- one [CHUNK, TILE_W] x [planes, TILE_W] MXU dot_general per
-    pixel row, accumulated in registers.  Faces are binned into exact
-    per-tile hits-first lists (see forward_pallas._pack_faces) so only live
-    chunks run.
-  * XLA post-pass (face-count sized): combine the Q sums with corner clip
-    x/y, then one tiny segment_sum from face corners to vertices.
-
-Gradient semantics are identical to ops/backward.py (pre-dilation colour
+Gradient semantics are identical to ops/backward.py (same pre-dilation colour
 weights, post-dilation position weights, viewport chain rule); tests compare
 the two paths directly.
 """
 
 import functools
-import os as _os
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -40,14 +26,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import backward, forward_pallas, geometry
 
+import os as _os
+
 TILE_H = forward_pallas.TILE_H
 TILE_W = forward_pallas.TILE_W
-CHUNK = int(_os.environ.get("DIRT_TPU_GRAD_CHUNK", 256))
+# The gradient kernel's SMEM accumulator block scales with its chunk size and
+# tops out below the forward kernel's sweet spot.  (An MXU masked-sum variant
+# measured SLOWER at this face density -- see CLAUDE.md.)
+CHUNK = int(_os.environ.get("DIRT_TPU_GRAD_CHUNK", 128))
 _BIG = forward_pallas._BIG
-
-# Q-plane index pairs (symmetric b_k * b_m products).
-_QPAIRS = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
-_NPOS = 3 + 3 + 6 + 6   # b*Ax (3), b*Ay (3), Qx (6), Qy (6)
+_DF = 12   # face-table floats: bbox(4), orig idx, valid, corner x0 y0 x1 y1 x2 y2
 
 
 def _cdiv(a, b):
@@ -56,31 +44,33 @@ def _cdiv(a, b):
 
 def _pack_grad_faces(vertices, faces, height, width, num_chunks, tiles_y,
                      tiles_x):
-    """Per-tile hits-first face-id lists for the gradient kernel.
+    """Face table for the gradient kernel: exact per-tile hits-first lists
+    (see forward_pallas._pack_faces), with bboxes widened one pixel for
+    dilation support.
 
-    Returns (face_ids [T, NC, CHUNK, 1] f32, counts [T, 1, 1, 1] i32,
-    sorted_orig [T, NC * CHUNK] i32).  Bounding boxes are widened two pixels
-    beyond the rasterised footprint: dilation moves gradient support one
-    pixel out, plus one pixel of conservative rounding slack.
+    Returns (face_data [T, NC, CHUNK, _DF] f32, counts [T, 1, 1, 1, 1] i32,
+    sorted_orig [T, NC * CHUNK] i32 mapping kernel rows to original faces).
     """
     num_faces = faces.shape[0]
     setup = geometry.face_setup(vertices, faces)
 
-    corners = jnp.take(vertices, faces, axis=0)
+    corners = jnp.take(vertices, faces, axis=0)          # [F, 3, 4]
     w = corners[..., 3]
     safe_w = jnp.where(w > 0, w, 1.0)
     px = (corners[..., 0] / safe_w + 1.0) * (width / 2.0)
     py = (1.0 - corners[..., 1] / safe_w) * (height / 2.0)
 
     unbounded = jnp.any(w <= 0, axis=-1)
-    col0 = jnp.floor(jnp.min(px, axis=-1) - 0.5).astype(jnp.int32) - 2
-    col1 = jnp.ceil(jnp.max(px, axis=-1) - 0.5).astype(jnp.int32) + 2
-    row0 = jnp.floor(jnp.min(py, axis=-1) - 0.5).astype(jnp.int32) - 2
-    row1 = jnp.ceil(jnp.max(py, axis=-1) - 0.5).astype(jnp.int32) + 2
-    col0 = jnp.where(unbounded, 0, jnp.clip(col0, 0, width - 1))
-    col1 = jnp.where(unbounded, width - 1, jnp.clip(col1, 0, width - 1))
-    row0 = jnp.where(unbounded, 0, jnp.clip(row0, 0, height - 1))
-    row1 = jnp.where(unbounded, height - 1, jnp.clip(row1, 0, height - 1))
+    col0 = jnp.floor(jnp.min(px, axis=-1) - 0.5).astype(jnp.int32) - 1
+    col1 = jnp.ceil(jnp.max(px, axis=-1) - 0.5).astype(jnp.int32) + 1
+    row0 = jnp.floor(jnp.min(py, axis=-1) - 0.5).astype(jnp.int32) - 1
+    row1 = jnp.ceil(jnp.max(py, axis=-1) - 0.5).astype(jnp.int32) + 1
+    # Dilation can move a face's gradient support one pixel beyond its
+    # rasterised footprint: widen the bbox by an extra pixel.
+    col0 = jnp.where(unbounded, 0, jnp.clip(col0 - 1, 0, width - 1))
+    col1 = jnp.where(unbounded, width - 1, jnp.clip(col1 + 1, 0, width - 1))
+    row0 = jnp.where(unbounded, 0, jnp.clip(row0 - 1, 0, height - 1))
+    row1 = jnp.where(unbounded, height - 1, jnp.clip(row1 + 1, 0, height - 1))
 
     valid = setup.valid
     row0 = jnp.where(valid, row0, _BIG)
@@ -88,88 +78,101 @@ def _pack_grad_faces(vertices, faces, height, width, num_chunks, tiles_y,
     row1 = jnp.where(valid, row1, -1)
     col1 = jnp.where(valid, col1, -1)
 
+    f32 = lambda a: a.astype(jnp.float32)
+    face_data = jnp.concatenate([
+        f32(row0)[:, None], f32(row1)[:, None],
+        f32(col0)[:, None], f32(col1)[:, None],
+        f32(jnp.arange(num_faces, dtype=jnp.int32))[:, None],
+        f32(valid)[:, None],
+        corners[..., 0],    # x0 x1 x2
+        corners[..., 1],    # y0 y1 y2
+    ], axis=1)
     pad_rows = num_chunks * CHUNK - num_faces
-    pad = lambda a, v: jnp.concatenate(
-        [a, jnp.full((pad_rows,), v, a.dtype)])
-    row0, row1 = pad(row0, _BIG), pad(row1, -1)
-    col0, col1 = pad(col0, _BIG), pad(col1, -1)
-    base_orig = pad(jnp.arange(num_faces, dtype=jnp.int32), 0)
-    # Padded list entries get face id -3: never matches real faces (>= 0),
-    # background (-1), or the padded-pixel marker (-2).
-    base_fid = pad(jnp.arange(num_faces, dtype=jnp.int32), -3)
+    pad_value = jnp.zeros((_DF,), jnp.float32).at[0].set(float(_BIG)).at[
+        2].set(float(_BIG)).at[1].set(-1.0).at[3].set(-1.0).at[4].set(-1.0)
+    face_data = jnp.concatenate(
+        [face_data, jnp.tile(pad_value[None], (pad_rows, 1))], axis=0)
+    base_orig = jnp.concatenate(
+        [jnp.arange(num_faces, dtype=jnp.int32),
+         jnp.zeros((pad_rows,), jnp.int32)])
 
     tile_r0 = jnp.arange(tiles_y, dtype=jnp.int32) * TILE_H
     tile_c0 = jnp.arange(tiles_x, dtype=jnp.int32) * TILE_W
-    hit_rows = ((row0[None] <= (tile_r0 + TILE_H - 1)[:, None])
-                & (row1[None] >= tile_r0[:, None]))
-    hit_cols = ((col0[None] <= (tile_c0 + TILE_W - 1)[:, None])
-                & (col1[None] >= tile_c0[:, None]))
+    hit_rows = ((face_data[None, :, 0] <= (tile_r0 + TILE_H - 1)[:, None])
+                & (face_data[None, :, 1] >= tile_r0[:, None]))
+    hit_cols = ((face_data[None, :, 2] <= (tile_c0 + TILE_W - 1)[:, None])
+                & (face_data[None, :, 3] >= tile_c0[:, None]))
     overlap = (hit_rows[:, None, :] & hit_cols[None, :, :]).reshape(
         tiles_y * tiles_x, -1)
     order = jnp.argsort(jnp.logical_not(overlap), axis=1, stable=True)
     counts = jnp.sum(overlap, axis=1).astype(jnp.int32)
 
-    face_ids = jnp.take(base_fid, order, axis=0).astype(jnp.float32)
-    # Stored column-shaped so the kernel gets [CHUNK, 1] without a relayout.
-    face_ids = face_ids.reshape(tiles_y * tiles_x, num_chunks, CHUNK, 1)
-    sorted_orig = jnp.take(base_orig, order, axis=0)
-    return face_ids, counts[:, None, None, None], sorted_orig
+    tiled = jnp.take(face_data, order, axis=0).reshape(
+        tiles_y * tiles_x, num_chunks, CHUNK, _DF)
+    sorted_orig = jnp.take(base_orig, order, axis=0)   # [T, NCK]
+    return tiled, counts[:, None, None, None], sorted_orig
 
 
-def _grad_kernel(count_ref, fid_ref, pos_ref, col_ref, pos_out, col_out,
-                 *, num_chunks, n_col):
+def _grad_kernel(count_ref, face_ref, pos_ref, col_ref, zeros_ref, out_ref,
+                 *, num_chunks, channels, tiles_x):
+    del zeros_ref  # aliased to out_ref; provides the zero initialisation
     # grid: (batch, tile, chunk); each (tile, chunk) owns its output block.
     chunk_idx = pl.program_id(2)
-    active = chunk_idx * CHUNK < count_ref[0, 0, 0, 0, 0]
 
-    pos_out[0, 0] = jnp.zeros((CHUNK, _NPOS), jnp.float32)
-    col_out[0, 0] = jnp.zeros((CHUNK, n_col), jnp.float32)
+    # No kernel-side init: the output aliases a zeros input (SMEM blocks only
+    # allow scalar element access, so a vectorised clear cannot lower).
 
-    @pl.when(active)
+    chunk_active = chunk_idx * CHUNK < count_ref[0, 0, 0, 0, 0]
+
+    @pl.when(chunk_active)
     def _process():
-        fid_col = fid_ref[0, 0, 0]                      # [CHUNK, 1]
-        lanes = 4   # independent accumulators: the MXU is latency-bound on a
-                    # single accumulate dependency chain
+        # Channel-major tile layouts: each plane is a clean zero-offset
+        # (TILE_H, TILE_W) block (Mosaic cannot reduce lane-offset slices).
+        # pos planes: (Ax, Ay, Px, Py, bd0, bd1, bd2, face_d)
+        ax = pos_ref[0, 0]
+        ay = pos_ref[0, 1]
+        px = pos_ref[0, 2]
+        py = pos_ref[0, 3]
+        bd = [pos_ref[0, 4 + k] for k in range(3)]
+        face_d = pos_ref[0, 7]
+        # col planes: (bp0, bp1, bp2, face_pre, gp[0..C))
+        bp = [col_ref[0, k] for k in range(3)]
+        face_pre = col_ref[0, 3]
+        gp = [col_ref[0, 4 + c] for c in range(channels)]
 
-        def one_row(r):
-            face_d_row = pos_ref[0, 0, r, :][None, :]       # [1, TW]
-            face_p_row = pos_ref[0, 1, r, :][None, :]
-            mask_d = (face_d_row == fid_col).astype(jnp.float32)  # [K, TW]
-            mask_p = (face_p_row == fid_col).astype(jnp.float32)
-            vpos_row = pos_ref[0, 2:, r, :]                 # [NPOS, TW]
-            vcol_row = col_ref[0, :, r, :]                  # [n_col, TW]
-            # HIGHEST precision: the default single-bf16-pass matmul loses
-            # ~3 decimal digits of the value planes (masks are exact either
-            # way); gradients must match the f32 reference path.
-            s_pos = jax.lax.dot_general(
-                mask_d, vpos_row, (((1,), (1,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)
-            s_col = jax.lax.dot_general(
-                mask_p, vcol_row, (((1,), (1,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)
-            return s_pos, s_col
+        def visit_face(j, _):
+            # j < n_live implies the face hits this tile and is valid
+            # (hits-first ordering; invalid faces have empty bboxes).
+            fid = face_ref[0, 0, 0, j, 4]
+            mask_d = face_d == fid
+            cx = (bd[0] * face_ref[0, 0, 0, j, 6]
+                  + bd[1] * face_ref[0, 0, 0, j, 7]
+                  + bd[2] * face_ref[0, 0, 0, j, 8])
+            cy = (bd[0] * face_ref[0, 0, 0, j, 9]
+                  + bd[1] * face_ref[0, 0, 0, j, 10]
+                  + bd[2] * face_ref[0, 0, 0, j, 11])
+            p = px * cx + py * cy
+            mask_pre = face_pre == fid
+            stride = 3 + channels   # corner-major rows: gx gy gw gc...
+            for k in range(3):
+                wd = jnp.where(mask_d, bd[k], 0.0)
+                out_ref[0, 0, 0, j, k * stride + 0] += jnp.sum(wd * ax)
+                out_ref[0, 0, 0, j, k * stride + 1] += jnp.sum(wd * ay)
+                out_ref[0, 0, 0, j, k * stride + 2] += -jnp.sum(wd * p)
+                wp = jnp.where(mask_pre, bp[k], 0.0)
+                for c in range(channels):
+                    out_ref[0, 0, 0, j, k * stride + 3 + c] += jnp.sum(
+                        wp * gp[c])
+            return 0
 
-        def row_body(i, acc):
-            new = []
-            for lane in range(lanes):
-                acc_pos, acc_col = acc[lane]
-                s_pos, s_col = one_row(i * lanes + lane)
-                new.append((acc_pos + s_pos, acc_col + s_col))
-            return tuple(new)
-
-        zeros = lambda: (jnp.zeros((CHUNK, _NPOS), jnp.float32),
-                         jnp.zeros((CHUNK, n_col), jnp.float32))
-        acc = jax.lax.fori_loop(0, TILE_H // lanes, row_body,
-                                tuple(zeros() for _ in range(lanes)))
-        pos_out[0, 0] = sum(a for a, _ in acc)
-        col_out[0, 0] = sum(c for _, c in acc)
+        n_live = jnp.minimum(
+            CHUNK, count_ref[0, 0, 0, 0, 0] - chunk_idx * CHUNK)
+        jax.lax.fori_loop(0, n_live, visit_face, 0)
 
 
 def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
                          interpret=None):
-    """MXU face-major gradient assembly; same contract and semantics as
+    """Face-major Pallas gradient assembly; same contract and semantics as
     backward.rasterise_grad_batch (all arguments [B, ...])."""
     if interpret is None:
         from . import dispatch
@@ -183,7 +186,6 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
     batch, height, width, channels = pixels.shape
     num_vertices = vertices.shape[1]
     num_faces = faces.shape[1]
-    n_col = 3 * channels
 
     # --- elementwise XLA pre-pass ---
     scharr_x, scharr_y = jax.vmap(backward.scharr_filters)(pixels)
@@ -205,116 +207,84 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
     px_t = jnp.where(covered_d, dl_dx * half_w / (safe_w * safe_w), zero)
     py_t = jnp.where(covered_d, dl_dy * half_h / (safe_w * safe_w), zero)
 
-    b = [bary_d[..., k] for k in range(3)]
-    bp = jnp.where(covered_pre[..., None], aux.barycentric, 0.0)
-    planes_pos = (
-        [face_d.astype(jnp.float32),
-         aux.face_index.astype(jnp.float32)]
-        + [b[k] * ax for k in range(3)]
-        + [b[k] * ay for k in range(3)]
-        + [b[k] * b[m] * px_t for k, m in _QPAIRS]
-        + [b[k] * b[m] * py_t for k, m in _QPAIRS])
-    planes_col = [bp[..., k] * grad_pixels[..., c]
-                  for k in range(3) for c in range(channels)]
-
     num_chunks = max(1, _cdiv(num_faces, CHUNK))
     tiles_y = _cdiv(height, TILE_H)
     tiles_x = _cdiv(width, TILE_W)
-    num_tiles = tiles_y * tiles_x
     hp, wp = tiles_y * TILE_H, tiles_x * TILE_W
 
     def pad_hw(a):
+        # a: [B, P, H, W] channel-major planes.
         return jnp.pad(a, ((0, 0), (0, 0), (0, hp - height),
                            (0, wp - width)))
 
-    pos_tab = pad_hw(jnp.stack(planes_pos, axis=1))
-    # Padded pixels must match no face id: overwrite the zero padding of the
-    # two id planes with -2 (value planes stay 0, contributing nothing).
-    if hp > height:
-        pos_tab = pos_tab.at[:, 0:2, height:, :].set(-2.0)
-    if wp > width:
-        pos_tab = pos_tab.at[:, 0:2, :, width:].set(-2.0)
-    col_tab = pad_hw(jnp.stack(planes_col, axis=1))
+    f32 = lambda a: a.astype(jnp.float32)
+    # Channel-major [B, planes, H, W]: padded-region planes are all zero, so
+    # any spurious face match there contributes exactly zero.
+    pos_tab = pad_hw(jnp.stack(
+        [ax, ay, px_t, py_t, bary_d[..., 0], bary_d[..., 1], bary_d[..., 2],
+         f32(face_d)], axis=1))
+    col_tab = pad_hw(jnp.concatenate([
+        jnp.moveaxis(jnp.where(covered_pre[..., None], aux.barycentric, 0.0),
+                     -1, 1),
+        f32(aux.face_index)[:, None],
+        jnp.moveaxis(grad_pixels, -1, 1),
+    ], axis=1))
 
-    face_ids, counts, sorted_orig = jax.vmap(
+    num_tiles = tiles_y * tiles_x
+    face_data, counts, sorted_orig = jax.vmap(
         functools.partial(_pack_grad_faces, height=height, width=width,
                           num_chunks=num_chunks, tiles_y=tiles_y,
                           tiles_x=tiles_x))(vertices, faces)
 
+    d_out = 9 + 3 * channels
     kernel = functools.partial(
-        _grad_kernel, num_chunks=num_chunks, n_col=n_col)
+        _grad_kernel, num_chunks=num_chunks, channels=channels,
+        tiles_x=tiles_x)
 
-    sums_pos, sums_col = pl.pallas_call(
+    face_grads = pl.pallas_call(
         kernel,
         grid=(batch, num_tiles, num_chunks),
         in_specs=[
             pl.BlockSpec((1, 1, 1, 1, 1),
-                         lambda b_, t, c: (b_, t, 0, 0, 0),
+                         lambda b, t, c: (b, t, 0, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, CHUNK, 1),
-                         lambda b_, t, c: (b_, t, c, 0, 0),
+            pl.BlockSpec((1, 1, 1, CHUNK, _DF),
+                         lambda b, t, c: (b, t, c, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, TILE_H, TILE_W),
+                         lambda b, t, c: (b, 0, t // tiles_x, t % tiles_x),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 + _NPOS, TILE_H, TILE_W),
-                         lambda b_, t, c: (b_, 0, t // tiles_x, t % tiles_x),
+            pl.BlockSpec((1, 4 + channels, TILE_H, TILE_W),
+                         lambda b, t, c: (b, 0, t // tiles_x, t % tiles_x),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_col, TILE_H, TILE_W),
-                         lambda b_, t, c: (b_, 0, t // tiles_x, t % tiles_x),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, CHUNK, d_out),
+                         lambda b, t, c: (b, t, c, 0, 0),
+                         memory_space=pltpu.SMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, 1, CHUNK, _NPOS),
-                         lambda b_, t, c: (b_, t * num_chunks + c, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, CHUNK, n_col),
-                         lambda b_, t, c: (b_, t * num_chunks + c, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct(
-                (batch, num_tiles * num_chunks, CHUNK, _NPOS), jnp.float32),
-            jax.ShapeDtypeStruct(
-                (batch, num_tiles * num_chunks, CHUNK, n_col), jnp.float32),
-        ],
+        # SMEM: the kernel accumulates per-face scalars (Mosaic cannot store
+        # scalars to VMEM); zero-init arrives via the aliased zeros input.
+        out_specs=pl.BlockSpec((1, 1, 1, CHUNK, d_out),
+                               lambda b, t, c: (b, t, c, 0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (batch, num_tiles, num_chunks, CHUNK, d_out), jnp.float32),
+        input_output_aliases={4: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
-    )(counts, face_ids, pos_tab, col_tab)
+    )(counts, face_data, pos_tab, col_tab,
+      jnp.zeros((batch, num_tiles, num_chunks, CHUNK, d_out), jnp.float32))
 
-    # --- XLA post-pass: face-dependent combination + tiny scatter ---
-    rows_n = num_tiles * num_chunks * CHUNK
-    sums_pos = sums_pos.reshape(batch, rows_n, _NPOS)
-    sums_col = sums_col.reshape(batch, rows_n, 3, channels)
-    orig = sorted_orig.reshape(batch, rows_n)
-
-    corner_vids = jnp.take_along_axis(faces, orig[..., None], axis=1)
-    cx = jnp.take_along_axis(
-        vertices[..., 0], corner_vids.reshape(batch, -1), axis=1
-    ).reshape(batch, rows_n, 3)
-    cy = jnp.take_along_axis(
-        vertices[..., 1], corner_vids.reshape(batch, -1), axis=1
-    ).reshape(batch, rows_n, 3)
-
-    gx = sums_pos[..., 0:3]
-    gy = sums_pos[..., 3:6]
-    qx = sums_pos[..., 6:12]
-    qy = sums_pos[..., 12:18]
-    qindex = {pair: i for i, pair in enumerate(_QPAIRS)}
-    gw = []
-    for k in range(3):
-        total = 0.
-        for m in range(3):
-            i = qindex[(min(k, m), max(k, m))]
-            total = total + cx[..., m] * qx[..., i] + cy[..., m] * qy[..., i]
-        gw.append(-total)
-    gw = jnp.stack(gw, axis=-1)                                  # [B, R, 3]
-
-    rows = jnp.concatenate([
-        jnp.stack([gx, gy, gw], axis=-1),                        # [B, R, 3, 3]
-        sums_col,                                                # [B, R, 3, C]
-    ], axis=-1).reshape(-1, 3 + channels)
+    # --- tiny face-corner -> vertex scatter (T*F rows, face-count sized) ---
+    face_grads = face_grads.reshape(
+        batch, num_tiles * num_chunks * CHUNK, 3, 3 + channels)
+    corner_vids = jnp.take_along_axis(
+        faces, sorted_orig.reshape(batch, -1)[..., None],
+        axis=1)                                         # [B, T*NC*K, 3]
     batch_offsets = (jnp.arange(batch, dtype=jnp.int32)
                      * num_vertices)[:, None, None]
     seg = (corner_vids + batch_offsets).reshape(-1)
+    rows = face_grads.reshape(-1, 3 + channels)
     summed = jax.ops.segment_sum(rows, seg,
                                  num_segments=batch * num_vertices)
     summed = summed.reshape(batch, num_vertices, 3 + channels)
