@@ -158,6 +158,57 @@ def _dilate(indices, barycentric, clip_w, scharr_x, scharr_y,
     return idx2, bary2, w2, dilated, face2
 
 
+class GradPrepass(NamedTuple):
+    """Face-independent per-pixel planes shared by the Pallas gradient
+    kernels (all [B, H, W] unless noted)."""
+    grad_background: jnp.ndarray   # [B, H, W, C]
+    covered_pre: jnp.ndarray       # bool, pre-dilation coverage
+    face_pre: jnp.ndarray          # int32 pre-dilation face index
+    bary_pre: jnp.ndarray          # [B, H, W, 3] pre-dilation (zeroed outside)
+    face_d: jnp.ndarray            # int32 post-dilation face index
+    bary_d: jnp.ndarray            # [B, H, W, 3] post-dilation
+    ax: jnp.ndarray                # dl_dx * (W/2) / clip_w   (0 off-coverage)
+    ay: jnp.ndarray                # dl_dy * (H/2) / clip_w
+    px_t: jnp.ndarray              # dl_dx * (W/2) / clip_w^2
+    py_t: jnp.ndarray              # dl_dy * (H/2) / clip_w^2
+    dilated: jnp.ndarray           # bool dilation marker (debug)
+
+
+def grad_prepass(pixels, grad_pixels, aux):
+    """Elementwise XLA pre-pass shared by the Pallas gradient kernels:
+    Scharr filtering, occluder dilation, and the viewport chain-rule factors
+    that do not depend on the face (rasterise_grad_egl.cu:113-194,203-208).
+    All arguments are batched [B, ...]."""
+    batch, height, width, channels = pixels.shape
+    scharr_x, scharr_y = jax.vmap(scharr_filters)(pixels)
+    covered_pre = aux.indices[..., 0] >= 0
+    grad_background = jnp.where(covered_pre[..., None], 0.0, grad_pixels)
+
+    _, bary_d, clip_w_d, dilated, face_d = jax.vmap(_dilate)(
+        aux.indices, aux.barycentric, aux.clip_w, scharr_x, scharr_y,
+        aux.face_index)
+    covered_d = face_d >= 0
+
+    dl_dx = jnp.sum(grad_pixels * scharr_x, axis=-1)
+    dl_dy = jnp.sum(grad_pixels * scharr_y, axis=-1)
+    safe_w = jnp.where(covered_d, clip_w_d, 1.0)
+    half_w, half_h = 0.5 * width, 0.5 * height
+    zero = jnp.zeros_like(dl_dx)
+    ax = jnp.where(covered_d, dl_dx * half_w / safe_w, zero)
+    ay = jnp.where(covered_d, dl_dy * half_h / safe_w, zero)
+    px_t = jnp.where(covered_d, dl_dx * half_w / (safe_w * safe_w), zero)
+    py_t = jnp.where(covered_d, dl_dy * half_h / (safe_w * safe_w), zero)
+    return GradPrepass(
+        grad_background=grad_background,
+        covered_pre=covered_pre,
+        face_pre=aux.face_index,
+        bary_pre=jnp.where(covered_pre[..., None], aux.barycentric, 0.0),
+        face_d=face_d,
+        bary_d=bary_d,
+        ax=ax, ay=ay, px_t=px_t, py_t=py_t,
+        dilated=dilated)
+
+
 def rasterise_grad_single(vertices, faces, pixels, grad_pixels, aux):
     """Gradient assembly for one image.
 
@@ -244,22 +295,45 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
                          implementation=None):
     """Batched gradient assembly ([B, ...] on every argument).
 
-    `implementation`: "pallas" (face-major kernel, ops/grad_pallas.py),
-    "xla" (segment_sum scatters, this module), or None for automatic
-    (pallas on TPU; overridable with DIRT_TPU_GRAD_BACKEND).
+    `implementation`: "pallas" (face-major scalar-reduction kernel,
+    ops/grad_pallas.py), "mxu" (mask-matrix contraction kernel,
+    ops/grad_mxu.py), "xla" (segment_sum scatters, this module), or None for
+    automatic (on TPU: mxu for dense scenes, pallas otherwise; overridable
+    with DIRT_TPU_GRAD_BACKEND).
     """
     import os
     if implementation is None:
         implementation = os.environ.get("DIRT_TPU_GRAD_BACKEND", "auto")
     if implementation == "auto":
         from . import dispatch
-        implementation = "pallas" if dispatch.on_accelerator() else "xla"
+        if dispatch.on_accelerator():
+            implementation = _auto_grad_kernel(faces.shape[1],
+                                               pixels.shape[1:3])
+        else:
+            implementation = "xla"
     if implementation == "pallas":
         from . import grad_pallas
         return grad_pallas.rasterise_grad_batch(
             vertices, faces, pixels, grad_pixels, aux)
+    if implementation == "mxu":
+        from . import grad_mxu
+        return grad_mxu.rasterise_grad_batch(
+            vertices, faces, pixels, grad_pixels, aux)
     return jax.vmap(rasterise_grad_single)(
         vertices, faces, pixels, grad_pixels, aux)
+
+
+def _auto_grad_kernel(num_faces, image_hw):
+    """Static kernel choice for the TPU gradient assembly.
+
+    The MXU contraction kernel's cost is ~independent of how many faces
+    actually hit each band (dense [CHUNK, pixels] matmuls), while the
+    scalar-reduction kernel pays per face visit; measured on TPU v5e the MXU
+    kernel wins from a few hundred faces upward (see BASELINE.md round-2
+    table) and the scalar kernel only for very sparse scenes.
+    """
+    del image_hw
+    return "mxu" if num_faces >= 256 else "pallas"
 
 
 def rasterise_grad_grouped(vertices, faces, pixels, grad_pixels, aux):

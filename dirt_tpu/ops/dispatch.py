@@ -24,8 +24,22 @@ from . import reference
 
 def on_accelerator():
     """True when the default jax backend is a TPU (including the 'axon'
-    relay platform, whose backend name is not literally 'tpu')."""
-    return jax.default_backend() != "cpu"
+    relay platform, whose backend name is not literally 'tpu').
+
+    Deliberately NOT `!= "cpu"`: on a GPU-backed jax the TPU Pallas kernels
+    (SMEM block specs, Mosaic compiler params) would be selected and fail to
+    compile, so non-TPU accelerators fall back to the reference backend.
+    """
+    backend = jax.default_backend()
+    if backend in ("tpu", "axon"):
+        return True
+    # Relay/proxy platforms wrap a TPU but report a custom name; check the
+    # device kind rather than hard-coding every alias.
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except (IndexError, RuntimeError):
+        return False
+    return "tpu" in kind
 
 
 def default_backend():

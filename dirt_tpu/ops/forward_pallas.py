@@ -55,16 +55,6 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
-def _part1by1(x):
-    """Interleaves zeros between the low 16 bits of x (for Morton codes)."""
-    x = x & 0xFFFF
-    x = (x | (x << 8)) & 0x00FF00FF
-    x = (x | (x << 4)) & 0x0F0F0F0F
-    x = (x | (x << 2)) & 0x33333333
-    x = (x | (x << 1)) & 0x55555555
-    return x
-
-
 def _pack_faces(vertices, vertex_colors, faces, height, width, num_chunks,
                 tiles_y, tiles_x):
     """Packs per-face raster constants + corner attributes for one image,
@@ -93,6 +83,12 @@ def _pack_faces(vertices, vertex_colors, faces, height, width, num_chunks,
 
     # Conservative pixel bbox (+/- 1 pixel of rounding slack); faces with any
     # w <= 0 may wrap through infinity, so they get the full screen.
+    # Assumption: clip coordinates of moderate magnitude (|x|, |y|, |w| well
+    # below ~2^20).  For extreme magnitudes, cancellation in the cross-product
+    # edge coefficients could shift edge-function coverage beyond the slack
+    # and a binned tile could miss fragments the unbinned reference backend
+    # rasterises; such scenes are far outside the reference's envelope too
+    # (GL rasteriser precision degrades the same way).
     unbounded = jnp.any(w <= 0, axis=-1)
     col0 = jnp.floor(jnp.min(px, axis=-1) - 0.5).astype(jnp.int32) - 1
     col1 = jnp.ceil(jnp.max(px, axis=-1) - 0.5).astype(jnp.int32) + 1

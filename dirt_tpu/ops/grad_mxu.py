@@ -1,0 +1,285 @@
+"""MXU (matmul) Pallas TPU kernel for the gradient scatters.
+
+Same gradient semantics as ops/backward.py and ops/grad_pallas.py (the
+reference's assemble_grads kernel, csrc/rasterise_grad_egl.cu:93-236), with
+the per-face masked pixel reductions reformulated as ONE mask-matrix
+contraction per (image band, face chunk):
+
+    S = M @ V^T,  M[face, pixel] = one-hot winner mask,
+                  V[plane, pixel] = face-INDEPENDENT value planes
+
+so the whole reduction rides the MXU.  The face-dependent factors (corner
+clip x/y in the viewport chain rule) factor OUT of the pixel sums:
+
+    gw_k = -sum_m x_m * sum_px[b_k b_m Px] - sum_m y_m * sum_px[b_k b_m Py]
+
+leaving 18 position planes (3 b*Ax, 3 b*Ay, 6 sym b_k b_m Px, 6 sym
+b_k b_m Py) and 3C colour planes (bpre_k * grad_pixels_c), all built in the
+XLA pre-pass at pixel count and combined at face count in the post-pass.
+
+This is the round-1 "MXU masked-sum" idea rebuilt with the two lessons the
+first attempt taught (git 85804cf..3af1966, measured 18 ms vs 13.7 ms):
+
+  1. ONE dot_general per (band, chunk) contracting ALL band pixels
+     ([CHUNK, PIX] x [planes, PIX], PIX = BAND_H * padded width), instead of
+     a fori_loop of per-row [CHUNK, 128] matmuls whose accumulator carries
+     and dynamic row slices dominated the runtime.
+  2. Bands (full-width row strips) instead of 2-D tiles, so the per-band
+     pixel flattening is a free reshape in XLA (no transpose) and binning is
+     a 1-D interval overlap.
+
+Masks are exact {0, 1} values and Precision.HIGHEST splits f32 operands
+exactly into bf16 triples, so the contraction is an exactly-rounded sum of
+the true per-pixel products -- the result differs from the scalar-reduction
+kernel only by summation order, like any other reduction strategy.
+"""
+
+import functools
+import os as _os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import backward
+
+BAND_H = int(_os.environ.get("DIRT_TPU_GRAD_BAND_H", 16))
+CHUNK = int(_os.environ.get("DIRT_TPU_GRAD_CHUNK", 128))
+_BIG = 1 << 30
+
+# Symmetric b_k * b_m product-plane pairs.
+_QPAIRS = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+_NPOS = 3 + 3 + 6 + 6   # b*Ax (3), b*Ay (3), Qx (6), Qy (6)
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _pack_grad_bands(vertices, faces, height, width, num_chunks, num_bands):
+    """Per-band hits-first face-id lists (1-D row-interval binning).
+
+    Returns (face_ids [bands, NC, CHUNK, 1] f32, counts [bands, 1, 1, 1]
+    i32, sorted_orig [bands, NC * CHUNK] i32).  Row bounds are widened two
+    pixels beyond the rasterised footprint: dilation moves gradient support
+    one pixel out, plus one pixel of conservative rounding slack.
+    """
+    from . import geometry
+    num_faces = faces.shape[0]
+    setup = geometry.face_setup(vertices, faces)
+
+    corners = jnp.take(vertices, faces, axis=0)          # [F, 3, 4]
+    w = corners[..., 3]
+    safe_w = jnp.where(w > 0, w, 1.0)
+    py = (1.0 - corners[..., 1] / safe_w) * (height / 2.0)
+
+    unbounded = jnp.any(w <= 0, axis=-1)
+    row0 = jnp.floor(jnp.min(py, axis=-1) - 0.5).astype(jnp.int32) - 2
+    row1 = jnp.ceil(jnp.max(py, axis=-1) - 0.5).astype(jnp.int32) + 2
+    row0 = jnp.where(unbounded, 0, jnp.clip(row0, 0, height - 1))
+    row1 = jnp.where(unbounded, height - 1, jnp.clip(row1, 0, height - 1))
+
+    valid = setup.valid
+    row0 = jnp.where(valid, row0, _BIG)
+    row1 = jnp.where(valid, row1, -1)
+
+    pad_rows = num_chunks * CHUNK - num_faces
+    pad = lambda a, v: jnp.concatenate([a, jnp.full((pad_rows,), v, a.dtype)])
+    row0, row1 = pad(row0, _BIG), pad(row1, -1)
+    base_orig = pad(jnp.arange(num_faces, dtype=jnp.int32), 0)
+    # Padded list entries get face id -3: never matches real faces (>= 0),
+    # background (-1), or the padded-pixel marker (-2).
+    base_fid = pad(jnp.arange(num_faces, dtype=jnp.int32), -3)
+
+    band_r0 = jnp.arange(num_bands, dtype=jnp.int32) * BAND_H
+    overlap = ((row0[None] <= (band_r0 + BAND_H - 1)[:, None])
+               & (row1[None] >= band_r0[:, None]))       # [bands, NCK]
+    order = jnp.argsort(jnp.logical_not(overlap), axis=1, stable=True)
+    counts = jnp.sum(overlap, axis=1).astype(jnp.int32)
+
+    face_ids = jnp.take(base_fid, order, axis=0).astype(jnp.float32)
+    face_ids = face_ids.reshape(num_bands, num_chunks, CHUNK, 1)
+    sorted_orig = jnp.take(base_orig, order, axis=0)
+    return face_ids, counts[:, None, None, None], sorted_orig
+
+
+def _grad_kernel(count_ref, fid_ref, ids_ref, vpos_ref, vcol_ref,
+                 pos_out, col_out, *, n_col):
+    # grid: (batch, band, chunk); every (band, chunk) owns its output block
+    # and carries no state, so all three grid dims are parallel.
+    chunk_idx = pl.program_id(2)
+    active = chunk_idx * CHUNK < count_ref[0, 0, 0, 0, 0]
+
+    @pl.when(active)
+    def _process():
+        fid = fid_ref[0, 0, 0]                           # [CHUNK, 1]
+        mask_d = (ids_ref[0, 0:1, 0, :] == fid).astype(jnp.float32)
+        mask_p = (ids_ref[0, 1:2, 0, :] == fid).astype(jnp.float32)
+        dn = (((1,), (1,)), ((), ()))                    # contract pixels
+        pos_out[0, 0] = jax.lax.dot_general(
+            mask_d, vpos_ref[0, :, 0, :], dn,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        col_out[0, 0] = jax.lax.dot_general(
+            mask_p, vcol_ref[0, :, 0, :], dn,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+
+    @pl.when(jnp.logical_not(active))
+    def _skip():
+        pos_out[0, 0] = jnp.zeros((CHUNK, _NPOS), jnp.float32)
+        col_out[0, 0] = jnp.zeros((CHUNK, n_col), jnp.float32)
+
+
+def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
+                         interpret=None):
+    """MXU gradient assembly; same contract and semantics as
+    backward.rasterise_grad_batch (all arguments [B, ...])."""
+    if interpret is None:
+        from . import dispatch
+        interpret = not dispatch.on_accelerator()
+
+    vertices = jnp.asarray(vertices, jnp.float32)
+    faces = jnp.asarray(faces, jnp.int32)
+    pixels = jnp.asarray(pixels, jnp.float32)
+    grad_pixels = jnp.asarray(grad_pixels, jnp.float32)
+
+    batch, height, width, channels = pixels.shape
+    num_vertices = vertices.shape[1]
+    num_faces = faces.shape[1]
+    n_col = 3 * channels
+
+    if num_faces == 0:
+        return backward.RasteriseGrads(
+            grad_background=grad_pixels,
+            grad_vertices=jnp.zeros((batch, num_vertices, 4), jnp.float32),
+            grad_vertex_colors=jnp.zeros(
+                (batch, num_vertices, channels), jnp.float32),
+            debug=jnp.zeros((batch, height, width), jnp.float32))
+
+    # --- elementwise XLA pre-pass: Scharr, dilation, value planes ---
+    pre = backward.grad_prepass(pixels, grad_pixels, aux)
+    b = [pre.bary_d[..., k] for k in range(3)]
+    f32 = lambda a: a.astype(jnp.float32)
+    ids_planes = [f32(pre.face_d), f32(pre.face_pre)]
+    pos_planes = (
+        [b[k] * pre.ax for k in range(3)]
+        + [b[k] * pre.ay for k in range(3)]
+        + [b[k] * b[m] * pre.px_t for k, m in _QPAIRS]
+        + [b[k] * b[m] * pre.py_t for k, m in _QPAIRS])
+    col_planes = [pre.bary_pre[..., k] * grad_pixels[..., c]
+                  for k in range(3) for c in range(channels)]
+
+    num_chunks = max(1, _cdiv(num_faces, CHUNK))
+    num_bands = _cdiv(height, BAND_H)
+    wp = _cdiv(width, 128) * 128
+    hp = num_bands * BAND_H
+    pix = BAND_H * wp
+
+    def to_bands(planes, fill):
+        # [B, P, H, W] -> [B, P, bands, BAND_H * Wp]: row strips flatten with
+        # a plain reshape (no transpose, no copy beyond the pad).
+        a = jnp.stack(planes, axis=1)
+        a = jnp.pad(a, ((0, 0), (0, 0), (0, hp - height), (0, wp - width)),
+                    constant_values=fill)
+        return a.reshape(batch, len(planes), num_bands, pix)
+
+    # Padded pixels must match no real face id (-2); padded value planes are
+    # zero so any spurious match would contribute nothing anyway.
+    ids_tab = to_bands(ids_planes, -2.0)
+    vpos_tab = to_bands(pos_planes, 0.0)
+    vcol_tab = to_bands(col_planes, 0.0)
+
+    face_ids, counts, sorted_orig = jax.vmap(
+        functools.partial(_pack_grad_bands, height=height, width=width,
+                          num_chunks=num_chunks, num_bands=num_bands))(
+        vertices, faces)
+
+    kernel = functools.partial(_grad_kernel, n_col=n_col)
+    band_block = lambda p: pl.BlockSpec(
+        (1, p, 1, pix), lambda bt, t, c: (bt, 0, t, 0),
+        memory_space=pltpu.VMEM)
+
+    sums_pos, sums_col = pl.pallas_call(
+        kernel,
+        grid=(batch, num_bands, num_chunks),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, 1, 1),
+                         lambda bt, t, c: (bt, t, 0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, CHUNK, 1),
+                         lambda bt, t, c: (bt, t, c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            band_block(2),
+            band_block(_NPOS),
+            band_block(n_col),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, CHUNK, _NPOS),
+                         lambda bt, t, c: (bt, t * pl.num_programs(2) + c,
+                                           0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, CHUNK, n_col),
+                         lambda bt, t, c: (bt, t * pl.num_programs(2) + c,
+                                           0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(
+                (batch, num_bands * num_chunks, CHUNK, _NPOS), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (batch, num_bands * num_chunks, CHUNK, n_col), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel")),
+        interpret=interpret,
+    )(counts, face_ids, ids_tab, vpos_tab, vcol_tab)
+
+    # --- XLA post-pass: face-dependent combination + tiny scatter ---
+    rows_n = num_bands * num_chunks * CHUNK
+    sums_pos = sums_pos.reshape(batch, rows_n, _NPOS)
+    sums_col = sums_col.reshape(batch, rows_n, 3, channels)
+    orig = sorted_orig.reshape(batch, rows_n)
+
+    corner_vids = jnp.take_along_axis(faces, orig[..., None], axis=1)
+    cx = jnp.take_along_axis(
+        vertices[..., 0], corner_vids.reshape(batch, -1), axis=1
+    ).reshape(batch, rows_n, 3)
+    cy = jnp.take_along_axis(
+        vertices[..., 1], corner_vids.reshape(batch, -1), axis=1
+    ).reshape(batch, rows_n, 3)
+
+    gx = sums_pos[..., 0:3]
+    gy = sums_pos[..., 3:6]
+    qx = sums_pos[..., 6:12]
+    qy = sums_pos[..., 12:18]
+    qindex = {pair: i for i, pair in enumerate(_QPAIRS)}
+    gw = []
+    for k in range(3):
+        total = 0.
+        for m in range(3):
+            i = qindex[(min(k, m), max(k, m))]
+            total = total + cx[..., m] * qx[..., i] + cy[..., m] * qy[..., i]
+        gw.append(-total)
+    gw = jnp.stack(gw, axis=-1)                                  # [B, R, 3]
+
+    rows = jnp.concatenate([
+        jnp.stack([gx, gy, gw], axis=-1),                        # [B, R, 3, 3]
+        sums_col,                                                # [B, R, 3, C]
+    ], axis=-1).reshape(-1, 3 + channels)
+    batch_offsets = (jnp.arange(batch, dtype=jnp.int32)
+                     * num_vertices)[:, None, None]
+    seg = (corner_vids + batch_offsets).reshape(-1)
+    summed = jax.ops.segment_sum(rows, seg,
+                                 num_segments=batch * num_vertices)
+    summed = summed.reshape(batch, num_vertices, 3 + channels)
+
+    grad_vertices = jnp.stack([
+        summed[..., 0], summed[..., 1],
+        jnp.zeros_like(summed[..., 0]), summed[..., 2],
+    ], axis=-1)
+    grad_vertex_colors = summed[..., 3:]
+    debug = jnp.where(pre.dilated, 1.e-2, 0.0)
+    return backward.RasteriseGrads(
+        pre.grad_background, grad_vertices, grad_vertex_colors, debug)

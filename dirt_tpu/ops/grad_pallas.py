@@ -187,25 +187,23 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
     num_vertices = vertices.shape[1]
     num_faces = faces.shape[1]
 
+    if num_faces == 0:
+        # Nothing rasterised: every pixel is background, no vertex receives
+        # gradient (mirrors forward_pallas.rasterise_batch's early-out; the
+        # kernel path would otherwise gather into a [B, 0, 3] faces array).
+        return backward.RasteriseGrads(
+            grad_background=grad_pixels,
+            grad_vertices=jnp.zeros((batch, num_vertices, 4), jnp.float32),
+            grad_vertex_colors=jnp.zeros(
+                (batch, num_vertices, channels), jnp.float32),
+            debug=jnp.zeros((batch, height, width), jnp.float32))
+
     # --- elementwise XLA pre-pass ---
-    scharr_x, scharr_y = jax.vmap(backward.scharr_filters)(pixels)
-    covered_pre = aux.indices[..., 0] >= 0
-    grad_background = jnp.where(covered_pre[..., None], 0.0, grad_pixels)
-
-    _, bary_d, clip_w_d, dilated, face_d = jax.vmap(backward._dilate)(
-        aux.indices, aux.barycentric, aux.clip_w, scharr_x, scharr_y,
-        aux.face_index)
-    covered_d = face_d >= 0
-
-    dl_dx = jnp.sum(grad_pixels * scharr_x, axis=-1)
-    dl_dy = jnp.sum(grad_pixels * scharr_y, axis=-1)
-    safe_w = jnp.where(covered_d, clip_w_d, 1.0)
-    half_w, half_h = 0.5 * width, 0.5 * height
-    zero = jnp.zeros_like(dl_dx)
-    ax = jnp.where(covered_d, dl_dx * half_w / safe_w, zero)
-    ay = jnp.where(covered_d, dl_dy * half_h / safe_w, zero)
-    px_t = jnp.where(covered_d, dl_dx * half_w / (safe_w * safe_w), zero)
-    py_t = jnp.where(covered_d, dl_dy * half_h / (safe_w * safe_w), zero)
+    pre = backward.grad_prepass(pixels, grad_pixels, aux)
+    grad_background = pre.grad_background
+    covered_pre = pre.covered_pre
+    bary_d, face_d, dilated = pre.bary_d, pre.face_d, pre.dilated
+    ax, ay, px_t, py_t = pre.ax, pre.ay, pre.px_t, pre.py_t
 
     num_chunks = max(1, _cdiv(num_faces, CHUNK))
     tiles_y = _cdiv(height, TILE_H)
@@ -224,9 +222,8 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
         [ax, ay, px_t, py_t, bary_d[..., 0], bary_d[..., 1], bary_d[..., 2],
          f32(face_d)], axis=1))
     col_tab = pad_hw(jnp.concatenate([
-        jnp.moveaxis(jnp.where(covered_pre[..., None], aux.barycentric, 0.0),
-                     -1, 1),
-        f32(aux.face_index)[:, None],
+        jnp.moveaxis(pre.bary_pre, -1, 1),
+        f32(pre.face_pre)[:, None],
         jnp.moveaxis(grad_pixels, -1, 1),
     ], axis=1))
 

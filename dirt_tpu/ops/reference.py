@@ -44,9 +44,14 @@ def visibility_scan(setup: geometry.FaceSetup, height, width):
     yg = y_ndc[:, None]
 
     num_faces = setup.e.shape[0]
+    # The zero-valued anchor makes the initial carry inherit the varying
+    # manual axes of the face data, so this scan typechecks under
+    # shard_map's check_vma without naming any mesh axis here (a plain
+    # constant init would be device-invariant while the carry out is not).
+    anchor = jnp.sum(setup.e) * 0.0
     init = (
-        jnp.full((height, width), 1.0, jnp.float32),   # glClearDepth(1.0)
-        jnp.full((height, width), -1, jnp.int32),
+        jnp.full((height, width), 1.0, jnp.float32) + anchor,  # glClearDepth(1.0)
+        jnp.full((height, width), -1, jnp.int32) + anchor.astype(jnp.int32),
     )
 
     def body(carry, inputs):

@@ -44,7 +44,7 @@ def rasterise_batch_sharded(mesh, background, vertices, vertex_colors, faces,
     spec = P(axis_name)
 
     @functools.partial(
-        jax.shard_map, mesh=mesh, check_vma=False,
+        jax.shard_map, mesh=mesh,
         in_specs=(spec, spec, spec, spec), out_specs=spec)
     def _render(bg, v, c, f):
         return rasterise_ops.rasterise_batch(bg, v, c, f, backend=backend)
@@ -82,7 +82,7 @@ def data_parallel_fit_step(mesh, render_fn, params, targets, learning_rate,
     shard = targets.shape[0] // num
 
     @functools.partial(
-        jax.shard_map, mesh=mesh, check_vma=False,
+        jax.shard_map, mesh=mesh,
         in_specs=(P(), P(axis_name)), out_specs=(P(), P()))
     def _step(p, local_targets):
         def loss_fn(q):

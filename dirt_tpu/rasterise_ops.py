@@ -116,7 +116,7 @@ def rasterise(background, vertices, vertex_colors, faces, height=None,
 
 
 def rasterise_grad_debug(background, vertices, vertex_colors, faces,
-                         grad_pixels, backend=None):
+                         grad_pixels, backend=None, grad_implementation=None):
     """Runs the gradient assembly with its debug output exposed.
 
     The analogue of the reference grad op's `debug_thingy` image
@@ -124,6 +124,10 @@ def rasterise_grad_debug(background, vertices, vertex_colors, faces,
     (grads, debug) where `debug` is a [height, width] image marking pixels
     whose gradients were dilated to an occluder, for visualising/diagnosing
     the occlusion-boundary behaviour.  All arguments are single-image.
+
+    `grad_implementation` selects the gradient-assembly path ("pallas" /
+    "xla" / None for the same automatic choice production uses), so the debug
+    surface shows what the deployed kernel actually did.
 
     Returns:
         (RasteriseGrads namedtuple with unbatched fields, debug image).
@@ -137,7 +141,7 @@ def rasterise_grad_debug(background, vertices, vertex_colors, faces,
         jnp.asarray(vertices, jnp.float32)[None],
         jnp.asarray(faces, jnp.int32)[None],
         pixels, jnp.asarray(grad_pixels, jnp.float32)[None], aux,
-        implementation="xla")
+        implementation=grad_implementation)
     unbatched = _backward.RasteriseGrads(
         *(field[0] for field in grads))
     return unbatched, unbatched.debug

@@ -1,33 +1,48 @@
-"""Face-major Pallas gradient kernel vs the XLA segment_sum path.
+"""Pallas gradient kernels (scalar-reduction and MXU) vs the XLA path.
 
-Both implement the same analytic gradient assembly; they may differ only by
-floating-point summation order (per-tile reductions vs scatter-add), so
-comparisons use a tight relative tolerance.
+All implement the same analytic gradient assembly; they may differ only by
+floating-point summation order (per-tile reductions / mask-matrix
+contractions vs scatter-add), so comparisons use a tight relative tolerance.
 """
 
 import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from dirt_tpu.ops import backward, dispatch, grad_pallas
+from dirt_tpu.ops import backward, dispatch, grad_mxu, grad_pallas
 from dirt_tpu.utils import meshes
 
+KERNELS = [grad_pallas, grad_mxu]
 
-def _compare(vertices, faces, colors, background, grad_pixels):
+
+def _compare(vertices, faces, colors, background, grad_pixels,
+             kernels=KERNELS):
     pixels, aux = dispatch.forward_batch(
         background, vertices, colors, faces, backend="reference")
     g_xla = backward.rasterise_grad_batch(
         vertices, faces, pixels, grad_pixels, aux, implementation="xla")
-    g_pal = grad_pallas.rasterise_grad_batch(
-        vertices, faces, pixels, grad_pixels, aux, interpret=True)
-    np.testing.assert_array_equal(np.asarray(g_xla.grad_background),
-                                  np.asarray(g_pal.grad_background))
-    for name in ("grad_vertices", "grad_vertex_colors"):
-        a = np.asarray(getattr(g_xla, name))
-        b = np.asarray(getattr(g_pal, name))
-        scale = max(np.abs(a).max(), 1.0)
-        np.testing.assert_allclose(a / scale, b / scale, atol=3e-6,
-                                   err_msg=name)
+    for kernel in kernels:
+        g_pal = kernel.rasterise_grad_batch(
+            vertices, faces, pixels, grad_pixels, aux, interpret=True)
+        np.testing.assert_array_equal(np.asarray(g_xla.grad_background),
+                                      np.asarray(g_pal.grad_background))
+        for name in ("grad_vertices", "grad_vertex_colors"):
+            a = np.asarray(getattr(g_xla, name))
+            b = np.asarray(getattr(g_pal, name))
+            scale = max(np.abs(a).max(), 1.0)
+            np.testing.assert_allclose(
+                a / scale, b / scale, atol=3e-6,
+                err_msg=f"{name} ({kernel.__name__})")
+
+
+def test_zero_faces_passthrough():
+    rng = np.random.RandomState(5)
+    v = jnp.asarray(rng.randn(1, 7, 4).astype(np.float32))
+    f = jnp.zeros((1, 0, 3), jnp.int32)
+    colors = jnp.asarray(rng.uniform(size=(1, 7, 3)).astype(np.float32))
+    bg = jnp.asarray(rng.uniform(size=(1, 16, 32, 3)).astype(np.float32))
+    gp = jnp.asarray(rng.randn(1, 16, 32, 3).astype(np.float32))
+    _compare(v, f, colors, bg, gp)
 
 
 def test_occlusion_scene_grads_match():
@@ -56,7 +71,9 @@ def test_random_soup_grads_match(channels):
              jnp.asarray(bg), jnp.asarray(gp))
 
 
-def test_many_faces_multiple_chunks_grads_match():
+def test_many_faces_multiple_chunks_grads_match(monkeypatch):
+    monkeypatch.setattr(grad_pallas, "CHUNK", 64)
+    monkeypatch.setattr(grad_mxu, "CHUNK", 64)
     rng = np.random.RandomState(11)
     n = 140
     centres = rng.uniform(-0.9, 0.9, size=(n, 2)).astype(np.float32)

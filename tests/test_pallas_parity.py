@@ -76,9 +76,13 @@ def test_aux_buffers_match():
                                atol=1e-4, rtol=1e-4)
 
 
-def test_many_faces_multiple_chunks():
-    # More faces than one kernel chunk (CHUNK=128) exercises the chunk loop,
-    # Morton sorting and the padded tail.
+def test_many_faces_multiple_chunks(monkeypatch):
+    # The forward kernel's default CHUNK is 512, so 150 faces would fit one
+    # chunk; shrink CHUNK so this scene spans several chunks and the kernel's
+    # multi-chunk sweep (c % num_chunks block indexing, hits-prefix loop
+    # bounds across chunk boundaries) is exercised hermetically on CPU.
+    from dirt_tpu.ops import forward_pallas
+    monkeypatch.setattr(forward_pallas, "CHUNK", 64)
     rng = np.random.RandomState(7)
     n = 150
     centres = rng.uniform(-0.9, 0.9, size=(n, 2)).astype(np.float32)
