@@ -79,4 +79,8 @@ def forward_batch(background, vertices, vertex_colors, faces, backend=None):
         from . import forward_pallas
         return forward_pallas.rasterise_batch(
             background, vertices, vertex_colors, faces)
+    if chosen == "dense":
+        from . import forward_dense
+        return forward_dense.rasterise_batch(
+            background, vertices, vertex_colors, faces)
     raise ValueError(f"unknown backend {chosen!r}")

@@ -1,0 +1,245 @@
+"""Dense single-pass Pallas TPU rasterisation kernel.
+
+Same contract and fragment semantics as ops/forward_pallas.py (the fused
+per-face kernel), with the per-face `fori_loop` replaced by DENSE vector
+planes over a whole face chunk at once:
+
+    E_i        [CHUNK, PIX] = a_i * x + b_i * y + c_i
+    coverage   [CHUNK, PIX] (fill rule + per-fragment |Z| <= |W| clip)
+    depth      [CHUNK, PIX] = S_z / S_w
+
+followed by a lexicographic (depth, original index) reduction over the chunk
+axis and a merge into per-pixel running state.  Visibility and shading fuse
+into ONE sweep: the winner's interpolation numerators (computed with exactly
+the same FMA structure as geometry.interpolate_attributes, so constant
+attributes stay constant-preserving) and edge values ride the running state,
+and a cheap XLA postprocess performs the single division, compositing and
+aux assembly.
+
+Rationale: the per-face kernel's hot loop issues ~30 scalar SMEM reads per
+face and serialises on the scalar unit; the dense form has NO scalar reads
+in the hot path -- face constants broadcast from VMEM columns [CHUNK, 1] --
+and turns the face sweep into full-width VPU work on [CHUNK, PIX] planes
+(PIX = TILE_H * TILE_W, flattened so every op sits on the native
+sublane x lane layout).  The cost is processing ceil(live / CHUNK) * CHUNK
+face slots per tile, so the scalar kernel can still win for very sparse
+scenes; DIRT_TPU_BACKEND selects explicitly.
+
+Reference semantics being replaced: GL triangle setup + raster units +
+depth test + smooth interpolation (csrc/rasterise_egl.cpp:362-380,
+csrc/shaders.cpp:16-43).
+"""
+
+import functools
+import os as _os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import forward_pallas, geometry, reference
+
+TILE_H = int(_os.environ.get("DIRT_TPU_DENSE_TILE_H", 32))
+TILE_W = int(_os.environ.get("DIRT_TPU_DENSE_TILE_W", 128))
+CHUNK = int(_os.environ.get("DIRT_TPU_DENSE_CHUNK", 64))
+_BASE = forward_pallas._BASE
+
+# Packed per-pixel state rows (all float32; ints are exact below 2^24):
+#   [0:C]  interpolation numerators      [C:C+3]  E0, E1, E2 of the winner
+#   [C+3]  S_w of the winner             [C+4:C+7] winner vertex ids
+#   [C+7]  depth (running z-buffer)      [C+8]    original face index (-1 bg)
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _raster_kernel(count_ref, face_ref, state_ref,
+                   *, height, width, channels, tiles_x):
+    pix = TILE_H * TILE_W
+    ns = channels + 9
+    chunk_idx = pl.program_id(2)
+    tile = pl.program_id(1)
+    tile_row = (tile // tiles_x) * TILE_H
+    tile_col = jax.lax.rem(tile, tiles_x) * TILE_W
+
+    @pl.when(chunk_idx == 0)
+    def _init():
+        # glClearDepth(1.0); orig -1 marks background.  Value rows are junk
+        # until a face wins (the postprocess selects on orig >= 0).
+        zeros = jnp.zeros((channels + 7, pix), jnp.float32)
+        depth = jnp.full((1, pix), 1.0, jnp.float32)
+        orig = jnp.full((1, pix), -1.0, jnp.float32)
+        state_ref[0, 0] = jnp.concatenate([zeros, depth, orig], axis=0)
+
+    chunk_active = chunk_idx * CHUNK < count_ref[0, 0, 0, 0, 0]
+
+    @pl.when(chunk_active)
+    def _process():
+        p = jax.lax.broadcasted_iota(jnp.int32, (1, pix), 1)
+        rows = p // TILE_W
+        cols = p - rows * TILE_W
+        # Pixel-centre NDC, identical expression to geometry.pixel_centre_ndc.
+        xg = (((tile_col + cols).astype(jnp.float32) + 0.5)
+              * (2.0 / width) - 1.0)
+        yg = (1.0 - ((tile_row + rows).astype(jnp.float32) + 0.5)
+              * (2.0 / height))
+
+        def col(i):
+            return face_ref[0, 0, 0, :, i:i + 1]        # [CHUNK, 1]
+
+        E0 = col(0) * xg + col(1) * yg + col(2)
+        E1 = col(3) * xg + col(4) * yg + col(5)
+        E2 = col(6) * xg + col(7) * yg + col(8)
+
+        s_z = E0 * col(9) + E1 * col(10) + E2 * col(11)
+        s_w = E0 * col(12) + E1 * col(13) + E2 * col(14)
+        a0 = col(15) != 0.0
+        a1 = col(16) != 0.0
+        a2 = col(17) != 0.0
+        in_p = (((E0 > 0) | ((E0 == 0) & a0))
+                & ((E1 > 0) | ((E1 == 0) & a1))
+                & ((E2 > 0) | ((E2 == 0) & a2)))
+        in_n = (((E0 < 0) | ((E0 == 0) & ~a0))
+                & ((E1 < 0) | ((E1 == 0) & ~a1))
+                & ((E2 < 0) | ((E2 == 0) & ~a2)))
+        cov_p = in_p & (s_w > 0) & (s_z >= -s_w) & (s_z <= s_w)
+        cov_n = in_n & (s_w < 0) & (s_z <= -s_w) & (s_z >= s_w)
+        covered = (cov_p | cov_n) & (col(18) != 0.0)
+        # Unmasked division as everywhere else (see geometry
+        # fragment_cover_depth): the select discards inf/nan.
+        depth = jnp.where(covered, s_z / s_w, jnp.inf)
+
+        orig_col = col(19)                              # original face index
+        # Lexicographic (depth, original index) minimum over the chunk.
+        # Non-hitting tail slots produce no coverage (conservative bboxes),
+        # so processing the full chunk is correct, only wasteful.
+        best_depth = jnp.min(depth, axis=0, keepdims=True)       # [1, PIX]
+        at_best = depth == best_depth                            # [K, PIX]
+        big = jnp.float32(forward_pallas._BIG)
+        best_orig = jnp.min(jnp.where(at_best, orig_col, big), axis=0,
+                            keepdims=True)
+        winner = at_best & (orig_col == best_orig)
+
+        def pick(plane):
+            return jnp.sum(jnp.where(winner, plane, 0.0), axis=0,
+                           keepdims=True)
+
+        # Winner rows.  num matches the FMA structure of
+        # geometry.interpolate_attributes / the per-face kernel exactly:
+        # ((E0*a0 + E1*a1) + E2*a2), so constant attributes interpolate to
+        # themselves bit-exactly after the postprocess division.
+        cand_rows = [
+            pick((E0 * col(_BASE + ch) + E1 * col(_BASE + channels + ch))
+                 + E2 * col(_BASE + 2 * channels + ch))
+            for ch in range(channels)
+        ]
+        cand_rows += [pick(E0), pick(E1), pick(E2), pick(s_w)]
+        cand_rows += [pick(col(24 + k)) for k in range(3)]
+        cand_rows += [best_depth, best_orig]
+        cand = jnp.concatenate(cand_rows, axis=0)                # [NS, PIX]
+
+        # Merge with the running state (GL_LESS + draw-order ties).
+        prev = state_ref[0, 0]
+        chunk_cov = best_depth < jnp.inf
+        prev_depth = prev[ns - 2:ns - 1, :]
+        prev_orig = prev[ns - 1:ns, :]
+        better = chunk_cov & (
+            (best_depth < prev_depth)
+            | ((best_depth == prev_depth) & (best_orig < prev_orig)))
+        state_ref[0, 0] = jnp.where(better, cand, prev)
+
+
+def rasterise_batch(background, vertices, vertex_colors, faces,
+                    interpret=None):
+    """Batched forward rasterisation via the dense single-pass kernel.
+
+    Contract identical to forward_pallas.rasterise_batch: returns
+    (pixels [B, H, W, C], reference.RasterAux); visibility matches the other
+    backends bit-exactly on tie-free scenes, constant attributes
+    interpolate exactly.
+    """
+    if interpret is None:
+        from . import dispatch
+        interpret = not dispatch.on_accelerator()
+
+    background = jnp.asarray(background, jnp.float32)
+    vertices = jnp.asarray(vertices, jnp.float32)
+    vertex_colors = jnp.asarray(vertex_colors, jnp.float32)
+    faces = jnp.asarray(faces, jnp.int32)
+
+    batch, height, width, channels = background.shape
+    num_faces = faces.shape[1]
+    if num_faces == 0:
+        return jax.vmap(reference.shade_pixels)(
+            jnp.full((batch, height, width), -1, jnp.int32),
+            geometry.face_setup(vertices, faces), faces, vertex_colors,
+            background)
+
+    num_chunks = max(1, _cdiv(num_faces, CHUNK))
+    tiles_y = _cdiv(height, TILE_H)
+    tiles_x = _cdiv(width, TILE_W)
+    num_tiles = tiles_y * tiles_x
+    hp, wp = tiles_y * TILE_H, tiles_x * TILE_W
+    width_d = _BASE + 3 * channels
+    pix = TILE_H * TILE_W
+    ns = channels + 9
+
+    face_data, counts = jax.vmap(
+        functools.partial(forward_pallas._pack_faces, height=height,
+                          width=width, num_chunks=num_chunks,
+                          tiles_y=tiles_y, tiles_x=tiles_x, chunk=CHUNK,
+                          tile_h=TILE_H, tile_w=TILE_W))(
+        vertices, vertex_colors, faces)
+
+    kernel = functools.partial(
+        _raster_kernel, height=height, width=width, channels=channels,
+        tiles_x=tiles_x)
+
+    state = pl.pallas_call(
+        kernel,
+        grid=(batch, num_tiles, num_chunks),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, 1, 1),
+                         lambda b, t, c: (b, t, 0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, CHUNK, width_d),
+                         lambda b, t, c: (b, t, c, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, ns, pix),
+                               lambda b, t, c: (b, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (batch, num_tiles, ns, pix), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(counts, face_data)
+
+    # Un-tile: [B, T, NS, PIX] -> [B, H, W, NS] (one transposing copy).
+    state = state.reshape(batch, tiles_y, tiles_x, ns, TILE_H, TILE_W)
+    state = state.transpose(0, 1, 4, 2, 5, 3).reshape(batch, hp, wp, ns)
+    state = state[:, :height, :width]
+
+    # XLA postprocess: one division, composite, aux assembly (elementwise at
+    # pixel count -- no gathers).
+    num = state[..., :channels]
+    e01 = state[..., channels:channels + 3]
+    sw = state[..., channels + 3]
+    vid = state[..., channels + 4:channels + 7]
+    orig = state[..., channels + 8].astype(jnp.int32)
+
+    covered = orig >= 0
+    den = (e01[..., 0] + e01[..., 1]) + e01[..., 2]
+    safe_den = jnp.where(den == 0, 1.0, den)
+    pixels = jnp.where(covered[..., None], num / safe_den[..., None],
+                       background)
+    bary = jnp.where(covered[..., None], e01 / safe_den[..., None], -1.0)
+    clip_w = jnp.where(covered, sw / safe_den, jnp.inf)
+    indices = jnp.where(covered[..., None], vid.astype(jnp.int32), -1)
+
+    aux = reference.RasterAux(
+        face_index=orig, indices=indices, barycentric=bary, clip_w=clip_w)
+    return pixels, aux

@@ -56,7 +56,7 @@ def _cdiv(a, b):
 
 
 def _pack_faces(vertices, vertex_colors, faces, height, width, num_chunks,
-                tiles_y, tiles_x):
+                tiles_y, tiles_x, chunk=None, tile_h=None, tile_w=None):
     """Packs per-face raster constants + corner attributes for one image,
     binned into exact per-tile face lists.
 
@@ -67,10 +67,16 @@ def _pack_faces(vertices, vertex_colors, faces, height, width, num_chunks,
     benchmark scene.  Memory is O(tiles * faces); for very large meshes at
     high tile counts raise DIRT_TPU_TILE_H/W.
 
+    `chunk`/`tile_h`/`tile_w` default to this module's configuration; the
+    dense kernel (ops/forward_dense.py) shares the packing with its own.
+
     Returns:
         face_data: [T, num_chunks, CHUNK, _BASE + 3 * C] float32.
         counts: [T, 1, 1, 1] int32 -- hit count per tile.
     """
+    CHUNK = chunk if chunk is not None else globals()["CHUNK"]
+    TILE_H = tile_h if tile_h is not None else globals()["TILE_H"]
+    TILE_W = tile_w if tile_w is not None else globals()["TILE_W"]
     num_faces = faces.shape[0]
     channels = vertex_colors.shape[-1]
     setup = geometry.face_setup(vertices, faces)

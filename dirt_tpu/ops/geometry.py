@@ -20,8 +20,30 @@ with the identities (derivable from E_i = w_j * w_k * 2 * signed_area_i):
 This reproduces OpenGL's `smooth` (perspective-correct) attribute
 interpolation and its screen-linear depth interpolation without ever clipping
 polygons: near/far clipping becomes the per-fragment test |Z| <= |W| (with the
-correct sign conventions), which yields exactly the same coverage as polygon
-clipping for triangles whose vertices all have w > 0.
+correct sign conventions), which yields the same coverage as exact polygon
+clipping for EVERY w sign pattern, including triangles crossing the camera
+plane (w = 0).  The argument:
+
+  * GL clips the triangle against the volume {w > 0, -w <= z <= w} (the x/y
+    planes never change which on-screen pixels are covered) and rasterises
+    the projected sub-polygon.  In exact arithmetic that coverage is
+    { pixels q : the point P of the triangle projecting to q has
+      w(P) > 0 and |z(P)| <= w(P) }.
+  * The per-fragment rule computes, at pixel q, S_e = sum E_i, S_w = sum
+    E_i w_i, S_z = sum E_i z_i with w(P) = S_w / S_e and z(P) = S_z / S_e.
+    Inside the positive-sign region (in_p) every E_i >= 0 so S_e > 0, and
+    the branch condition S_w > 0 is exactly w(P) > 0; symmetrically for the
+    negative region (in_n, S_e < 0), S_w < 0 is again w(P) > 0.  The
+    "anti-region" a camera-crossing triangle sweeps through infinity -- the
+    projection of its w < 0 part -- always fails the branch's S_w sign test,
+    so it is never rasterised, exactly as GL clips it away.  |S_z| <= |S_w|
+    with the branch's sign is |z(P)| <= w(P) since z/w is screen-affine.
+
+  Real GL clips at finite precision (new vertices on the w = 0 plane project
+  to finite coordinates), so implementations may differ from the exact rule
+  within a pixel of a clipped region's boundary; the native oracle's
+  independently-derived clipping mode (native/raster_oracle.cpp,
+  dirt_oracle_rasterise_clipped) pins this agreement in tests.
 
 Conventions (matching the reference):
   * images are top-row-first (README.md:183); pixel (row r, col c) has centre

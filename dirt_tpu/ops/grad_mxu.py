@@ -114,15 +114,19 @@ def _grad_kernel(count_ref, fid_ref, ids_ref, vpos_ref, vcol_ref,
     @pl.when(active)
     def _process():
         fid = fid_ref[0, 0, 0]                           # [CHUNK, 1]
-        mask_d = (ids_ref[0, 0:1, 0, :] == fid).astype(jnp.float32)
-        mask_p = (ids_ref[0, 1:2, 0, :] == fid).astype(jnp.float32)
-        dn = (((1,), (1,)), ((), ()))                    # contract pixels
+        mask_d = (ids_ref[0, 0, 0:1, :] == fid).astype(jnp.float32)
+        mask_p = (ids_ref[0, 0, 1:2, :] == fid).astype(jnp.float32)
+        # Plain NN matmuls ([CHUNK, PIX] @ [PIX, NP]): the value planes are
+        # packed pixel-major so the contraction dim sits on the canonical
+        # (lanes x sublanes) axes -- an NT dot contracting two lane dims
+        # measured ~100x slower through Mosaic.
+        dn = (((1,), (0,)), ((), ()))
         pos_out[0, 0] = jax.lax.dot_general(
-            mask_d, vpos_ref[0, :, 0, :], dn,
+            mask_d, vpos_ref[0, 0], dn,
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)
         col_out[0, 0] = jax.lax.dot_general(
-            mask_p, vcol_ref[0, :, 0, :], dn,
+            mask_p, vcol_ref[0, 0], dn,
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)
 
@@ -177,19 +181,28 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
     hp = num_bands * BAND_H
     pix = BAND_H * wp
 
-    def to_bands(planes, fill):
-        # [B, P, H, W] -> [B, P, bands, BAND_H * Wp]: row strips flatten with
-        # a plain reshape (no transpose, no copy beyond the pad).
-        a = jnp.stack(planes, axis=1)
-        a = jnp.pad(a, ((0, 0), (0, 0), (0, hp - height), (0, wp - width)),
-                    constant_values=fill)
-        return a.reshape(batch, len(planes), num_bands, pix)
+    def to_bands_rowmajor(planes, fill):
+        # Plane-major [B, bands, P, pix]: each [B, H, W] plane flattens to
+        # [B, bands, pix] with a plain reshape (row strips, no transpose).
+        def one(p):
+            p = jnp.pad(p, ((0, 0), (0, hp - height), (0, wp - width)),
+                        constant_values=fill)
+            return p.reshape(batch, num_bands, pix)
+        return jnp.stack([one(p) for p in planes], axis=2)
+
+    def to_bands_pixmajor(planes):
+        # Pixel-major [B, bands, pix, P]: values stacked channel-like on the
+        # last axis so the kernel's matmul rhs has pixels on sublanes (the
+        # canonical contraction layout).  Still a free row-strip reshape.
+        a = jnp.stack(planes, axis=-1)                   # [B, H, W, P]
+        a = jnp.pad(a, ((0, 0), (0, hp - height), (0, wp - width), (0, 0)))
+        return a.reshape(batch, num_bands, pix, len(planes))
 
     # Padded pixels must match no real face id (-2); padded value planes are
     # zero so any spurious match would contribute nothing anyway.
-    ids_tab = to_bands(ids_planes, -2.0)
-    vpos_tab = to_bands(pos_planes, 0.0)
-    vcol_tab = to_bands(col_planes, 0.0)
+    ids_tab = to_bands_rowmajor(ids_planes, -2.0)
+    vpos_tab = to_bands_pixmajor(pos_planes)
+    vcol_tab = to_bands_pixmajor(col_planes)
 
     face_ids, counts, sorted_orig = jax.vmap(
         functools.partial(_pack_grad_bands, height=height, width=width,
@@ -197,9 +210,6 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
         vertices, faces)
 
     kernel = functools.partial(_grad_kernel, n_col=n_col)
-    band_block = lambda p: pl.BlockSpec(
-        (1, p, 1, pix), lambda bt, t, c: (bt, 0, t, 0),
-        memory_space=pltpu.VMEM)
 
     sums_pos, sums_col = pl.pallas_call(
         kernel,
@@ -211,9 +221,15 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
             pl.BlockSpec((1, 1, 1, CHUNK, 1),
                          lambda bt, t, c: (bt, t, c, 0, 0),
                          memory_space=pltpu.VMEM),
-            band_block(2),
-            band_block(_NPOS),
-            band_block(n_col),
+            pl.BlockSpec((1, 1, 2, pix),
+                         lambda bt, t, c: (bt, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, pix, _NPOS),
+                         lambda bt, t, c: (bt, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, pix, n_col),
+                         lambda bt, t, c: (bt, t, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, CHUNK, _NPOS),

@@ -26,8 +26,7 @@ def _load():
         subprocess.run(["make", "-s"], cwd=_NATIVE_DIR, check=True,
                        env={**os.environ})
     lib = ctypes.CDLL(str(_LIB_PATH))
-    lib.dirt_oracle_rasterise.restype = None
-    lib.dirt_oracle_rasterise.argtypes = [
+    argtypes = [
         ctypes.POINTER(ctypes.c_float),   # background
         ctypes.POINTER(ctypes.c_float),   # vertices
         ctypes.POINTER(ctypes.c_float),   # colors
@@ -37,6 +36,10 @@ def _load():
         ctypes.POINTER(ctypes.c_float),   # out pixels
         ctypes.POINTER(ctypes.c_int32),   # out face index
     ]
+    for name in ("dirt_oracle_rasterise", "dirt_oracle_rasterise_clipped"):
+        fn = getattr(lib, name)
+        fn.restype = None
+        fn.argtypes = argtypes
     _lib = lib
     return lib
 
@@ -59,6 +62,37 @@ def rasterise(background, vertices, vertex_colors, faces):
     fptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
     iptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
     lib.dirt_oracle_rasterise(
+        fptr(background), fptr(vertices), fptr(vertex_colors), iptr(faces),
+        np.int32(vertices.shape[0]), np.int32(faces.shape[0]),
+        np.int32(height), np.int32(width), np.int32(channels),
+        fptr(pixels), iptr(face_index))
+    return pixels, face_index
+
+
+def rasterise_clipped(background, vertices, vertex_colors, faces):
+    """Rasterises one image with the GL-polygon-clipping oracle.
+
+    Independently derived ground truth for w <= 0 semantics: true
+    Sutherland-Hodgman clipping against {w >= eps, -w <= z <= w} followed by
+    projected 2-D rasterisation -- what GL hardware does for the reference
+    (csrc/rasterise_egl.cpp:362-380).  Coverage may differ from the
+    per-fragment backends only in a one-pixel band at region boundaries.
+
+    Returns (pixels [H, W, C] float32, face_index [H, W] int32).
+    """
+    lib = _load()
+    background = np.ascontiguousarray(background, np.float32)
+    vertices = np.ascontiguousarray(vertices, np.float32)
+    vertex_colors = np.ascontiguousarray(vertex_colors, np.float32)
+    faces = np.ascontiguousarray(faces, np.int32)
+    height, width, channels = background.shape
+    assert channels <= 8, "clipped oracle supports up to 8 attributes"
+    pixels = np.empty_like(background)
+    face_index = np.empty((height, width), np.int32)
+
+    fptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    iptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    lib.dirt_oracle_rasterise_clipped(
         fptr(background), fptr(vertices), fptr(vertex_colors), iptr(faces),
         np.int32(vertices.shape[0]), np.int32(faces.shape[0]),
         np.int32(height), np.int32(width), np.int32(channels),

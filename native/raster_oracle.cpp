@@ -168,3 +168,184 @@ void dirt_oracle_rasterise(const float* background, const float* vertices,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// GL-clipping oracle: an INDEPENDENTLY DERIVED rasteriser that reproduces
+// what OpenGL hardware does for the reference (csrc/rasterise_egl.cpp:362-380
+// invokes it): Sutherland-Hodgman polygon clipping in clip space against
+//   w >= w_eps   (the limit form of the implicit w > 0 of the clip volume),
+//   z >= -w, z <= w   (near / far planes),
+// followed by projection to NDC and plain 2-D screen-space rasterisation of
+// the fan-triangulated sub-polygon, with screen-linear (z/w) depth and
+// GL_LESS + draw-order depth testing.  Attributes are interpolated the
+// GL way: a/w and 1/w linear in screen space, divided per fragment.
+//
+// This deliberately shares NO formulation with the homogeneous edge-function
+// path above: it is the ground truth for the claim (dirt_tpu/ops/geometry.py)
+// that the per-fragment |Z| <= |W| rule with the S_w sign test equals exact
+// GL near/far clipping for EVERY w sign pattern, including triangles
+// crossing the camera plane (w = 0).  Coverage may differ only in a
+// one-pixel band around region boundaries (w_eps and rounding).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr int kMaxPoly = 16;
+constexpr int kMaxAttrs = 8;
+
+struct ClipVertex {
+  double x, y, z, w;
+  double attr[kMaxAttrs];
+};
+
+inline ClipVertex lerp_vertex(const ClipVertex& a, const ClipVertex& b,
+                              double t, int channels) {
+  ClipVertex out;
+  out.x = a.x + t * (b.x - a.x);
+  out.y = a.y + t * (b.y - a.y);
+  out.z = a.z + t * (b.z - a.z);
+  out.w = a.w + t * (b.w - a.w);
+  for (int c = 0; c < channels; ++c) {
+    out.attr[c] = a.attr[c] + t * (b.attr[c] - a.attr[c]);
+  }
+  return out;
+}
+
+// Clips the polygon against {v : dist(v) >= 0}; returns the new count.
+template <typename DistFn>
+int clip_against(const ClipVertex* in, int n, ClipVertex* out, int channels,
+                 DistFn dist) {
+  int m = 0;
+  for (int i = 0; i < n; ++i) {
+    const ClipVertex& cur = in[i];
+    const ClipVertex& nxt = in[(i + 1) % n];
+    const double dc = dist(cur);
+    const double dn = dist(nxt);
+    if (dc >= 0.0) {
+      out[m++] = cur;
+      if (dn < 0.0) {
+        out[m++] = lerp_vertex(cur, nxt, dc / (dc - dn), channels);
+      }
+    } else if (dn >= 0.0) {
+      out[m++] = lerp_vertex(cur, nxt, dc / (dc - dn), channels);
+    }
+  }
+  return m;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Same contract as dirt_oracle_rasterise, implemented via true polygon
+// clipping (see block comment above).
+void dirt_oracle_rasterise_clipped(const float* background,
+                                   const float* vertices, const float* colors,
+                                   const int32_t* faces, int32_t num_vertices,
+                                   int32_t num_faces, int32_t height,
+                                   int32_t width, int32_t channels,
+                                   float* out_pixels, int32_t* out_index) {
+  (void)num_vertices;
+  const double w_eps = 1e-7;
+
+  const int64_t pixel_count = static_cast<int64_t>(height) * width;
+  double* depth = new double[pixel_count];
+  for (int64_t i = 0; i < pixel_count; ++i) depth[i] = 1.0;
+  for (int64_t i = 0; i < pixel_count; ++i) out_index[i] = -1;
+  for (int64_t i = 0; i < pixel_count; ++i) {
+    for (int32_t c = 0; c < channels; ++c) {
+      out_pixels[i * channels + c] = background[i * channels + c];
+    }
+  }
+
+  for (int32_t f = 0; f < num_faces; ++f) {
+    ClipVertex poly[kMaxPoly], buf[kMaxPoly];
+    for (int k = 0; k < 3; ++k) {
+      const float* v = vertices + static_cast<int64_t>(faces[f * 3 + k]) * 4;
+      poly[k].x = v[0];
+      poly[k].y = v[1];
+      poly[k].z = v[2];
+      poly[k].w = v[3];
+      const float* a =
+          colors + static_cast<int64_t>(faces[f * 3 + k]) * channels;
+      for (int c = 0; c < channels; ++c) poly[k].attr[c] = a[c];
+    }
+    int n = 3;
+    n = clip_against(poly, n, buf, channels,
+                     [&](const ClipVertex& v) { return v.w - w_eps; });
+    n = clip_against(buf, n, poly, channels,
+                     [](const ClipVertex& v) { return v.z + v.w; });
+    n = clip_against(poly, n, buf, channels,
+                     [](const ClipVertex& v) { return v.w - v.z; });
+    if (n < 3) continue;
+
+    // Project to screen space (pixel units, top row first).
+    double sx[kMaxPoly], sy[kMaxPoly], sz[kMaxPoly], inv_w[kMaxPoly];
+    for (int i = 0; i < n; ++i) {
+      const double iw = 1.0 / buf[i].w;
+      sx[i] = (buf[i].x * iw + 1.0) * 0.5 * width;
+      sy[i] = (1.0 - buf[i].y * iw) * 0.5 * height;
+      sz[i] = buf[i].z * iw;   // NDC depth, screen-linear
+      inv_w[i] = iw;
+    }
+
+    // Fan-triangulate and rasterise each sub-triangle in 2-D.
+    for (int t = 1; t + 1 < n; ++t) {
+      const int i0 = 0, i1 = t, i2 = t + 1;
+      const double ax = sx[i1] - sx[i0], ay = sy[i1] - sy[i0];
+      const double bx = sx[i2] - sx[i0], by = sy[i2] - sy[i0];
+      double area = ax * by - ay * bx;
+      if (area == 0.0) continue;
+
+      double minx = sx[i0], maxx = sx[i0], miny = sy[i0], maxy = sy[i0];
+      const int rest[2] = {i1, i2};
+      for (int j = 0; j < 2; ++j) {
+        const int i = rest[j];
+        minx = sx[i] < minx ? sx[i] : minx;
+        maxx = sx[i] > maxx ? sx[i] : maxx;
+        miny = sy[i] < miny ? sy[i] : miny;
+        maxy = sy[i] > maxy ? sy[i] : maxy;
+      }
+      int c0 = static_cast<int>(std::floor(minx - 0.5));
+      int c1 = static_cast<int>(std::ceil(maxx));
+      int r0 = static_cast<int>(std::floor(miny - 0.5));
+      int r1 = static_cast<int>(std::ceil(maxy));
+      c0 = c0 < 0 ? 0 : c0;
+      r0 = r0 < 0 ? 0 : r0;
+      c1 = c1 >= width ? width - 1 : c1;
+      r1 = r1 >= height ? height - 1 : r1;
+
+      for (int r = r0; r <= r1; ++r) {
+        const double py = r + 0.5;
+        for (int col = c0; col <= c1; ++col) {
+          const double px = col + 0.5;
+          // 2-D barycentric coordinates in screen space.
+          const double dx = px - sx[i0], dy = py - sy[i0];
+          const double l1 = (dx * by - dy * bx) / area;
+          const double l2 = (ax * dy - ay * dx) / area;
+          const double l0 = 1.0 - l1 - l2;
+          if (l0 < 0.0 || l1 < 0.0 || l2 < 0.0) continue;
+          const double d = l0 * sz[i0] + l1 * sz[i1] + l2 * sz[i2];
+          const int64_t idx = static_cast<int64_t>(r) * width + col;
+          if (d < depth[idx]) {
+            depth[idx] = d;
+            out_index[idx] = f;
+            // Perspective-correct attributes: (a/w, 1/w) screen-linear.
+            const double iw =
+                l0 * inv_w[i0] + l1 * inv_w[i1] + l2 * inv_w[i2];
+            for (int c = 0; c < channels; ++c) {
+              const double aw = l0 * buf[i0].attr[c] * inv_w[i0] +
+                                l1 * buf[i1].attr[c] * inv_w[i1] +
+                                l2 * buf[i2].attr[c] * inv_w[i2];
+              out_pixels[idx * channels + c] = static_cast<float>(aw / iw);
+            }
+          }
+        }
+      }
+    }
+  }
+
+  delete[] depth;
+}
+
+}  // extern "C"
