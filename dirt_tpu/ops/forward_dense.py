@@ -177,7 +177,7 @@ def rasterise_batch(background, vertices, vertex_colors, faces,
             geometry.face_setup(vertices, faces), faces, vertex_colors,
             background)
 
-    num_chunks = max(1, _cdiv(num_faces, CHUNK))
+    num_chunks = max(1, _cdiv(forward_pallas.tile_face_cap(num_faces), CHUNK))
     tiles_y = _cdiv(height, TILE_H)
     tiles_x = _cdiv(width, TILE_W)
     num_tiles = tiles_y * tiles_x

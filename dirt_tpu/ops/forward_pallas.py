@@ -129,7 +129,9 @@ def _pack_faces(vertices, vertex_colors, faces, height, width, num_chunks,
     ], axis=1)
 
     width_d = _BASE + 3 * channels
-    pad_rows = num_chunks * CHUNK - num_faces
+    # Pad so the binning covers every face AND the per-tile slice below has
+    # enough rows (num_chunks may reflect the tile face cap < num_faces).
+    pad_rows = max(num_chunks * CHUNK, num_faces) - num_faces
     pad_value = jnp.zeros((width_d,), jnp.float32).at[20].set(
         float(_BIG)).at[22].set(float(_BIG)).at[21].set(-1.0).at[23].set(-1.0)
     face_data = jnp.concatenate(
@@ -148,9 +150,32 @@ def _pack_faces(vertices, vertex_colors, faces, height, width, num_chunks,
     order = jnp.argsort(jnp.logical_not(overlap), axis=1, stable=True)
     counts = jnp.sum(overlap, axis=1).astype(jnp.int32)           # [T]
 
-    tiled = jnp.take(face_data, order, axis=0)                    # [T, NCK, D]
+    # Per-tile face cap: only the first num_chunks * CHUNK hitting faces are
+    # materialised per tile (hits-first order keeps the earliest-drawn).
+    # For num_faces below the cap this is exact; see tile_face_cap().
+    max_rows = num_chunks * CHUNK
+    counts = jnp.minimum(counts, max_rows)
+    tiled = jnp.take(face_data, order[:, :max_rows], axis=0)   # [T, rows, D]
     tiled = tiled.reshape(tiles_y * tiles_x, num_chunks, CHUNK, width_d)
     return tiled, counts[:, None, None, None]
+
+
+def tile_face_cap(num_faces):
+    """Number of face slots materialised per tile.
+
+    Exact per-tile binning replicates the face table per tile
+    (O(tiles x faces x row) memory).  Beyond DIRT_TPU_TILE_FACE_CAP faces
+    (default 8192) each tile keeps only its first `cap` hitting faces in
+    draw order -- the reference has an analogous hard envelope (2^24
+    vertices, csrc/rasterise_grad_egl.cpp:399-405).  A tile with more than
+    `cap` OVERLAPPING faces would drop the latest-drawn ones; at that
+    density the dropped faces are almost surely occluded, but raise the cap
+    (or the tile size) if exactness at extreme densities matters.
+    """
+    cap = int(_os.environ.get("DIRT_TPU_TILE_FACE_CAP", "8192"))
+    if cap <= 0:
+        return num_faces
+    return min(num_faces, cap)
 
 
 def _raster_kernel(count_ref, face_ref, background_ref,
@@ -320,7 +345,7 @@ def rasterise_batch(background, vertices, vertex_colors, faces,
             geometry.face_setup(vertices, faces), faces, vertex_colors,
             background)
 
-    num_chunks = max(1, _cdiv(num_faces, CHUNK))
+    num_chunks = max(1, _cdiv(tile_face_cap(num_faces), CHUNK))
     tiles_y = _cdiv(height, TILE_H)
     tiles_x = _cdiv(width, TILE_W)
     hp, wp = tiles_y * TILE_H, tiles_x * TILE_W

@@ -42,7 +42,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from . import backward
+from . import backward, forward_pallas
 
 BAND_H = int(_os.environ.get("DIRT_TPU_GRAD_BAND_H", 16))
 CHUNK = int(_os.environ.get("DIRT_TPU_GRAD_CHUNK", 128))
@@ -84,7 +84,7 @@ def _pack_grad_bands(vertices, faces, height, width, num_chunks, num_bands):
     row0 = jnp.where(valid, row0, _BIG)
     row1 = jnp.where(valid, row1, -1)
 
-    pad_rows = num_chunks * CHUNK - num_faces
+    pad_rows = max(num_chunks * CHUNK, num_faces) - num_faces
     pad = lambda a, v: jnp.concatenate([a, jnp.full((pad_rows,), v, a.dtype)])
     row0, row1 = pad(row0, _BIG), pad(row1, -1)
     base_orig = pad(jnp.arange(num_faces, dtype=jnp.int32), 0)
@@ -98,6 +98,10 @@ def _pack_grad_bands(vertices, faces, height, width, num_chunks, num_bands):
     order = jnp.argsort(jnp.logical_not(overlap), axis=1, stable=True)
     counts = jnp.sum(overlap, axis=1).astype(jnp.int32)
 
+    # Per-band face cap (see forward_pallas.tile_face_cap).
+    max_rows = num_chunks * CHUNK
+    counts = jnp.minimum(counts, max_rows)
+    order = order[:, :max_rows]
     face_ids = jnp.take(base_fid, order, axis=0).astype(jnp.float32)
     face_ids = face_ids.reshape(num_bands, num_chunks, CHUNK, 1)
     sorted_orig = jnp.take(base_orig, order, axis=0)
@@ -175,7 +179,8 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
     col_planes = [pre.bary_pre[..., k] * grad_pixels[..., c]
                   for k in range(3) for c in range(channels)]
 
-    num_chunks = max(1, _cdiv(num_faces, CHUNK))
+    num_chunks = max(1, _cdiv(
+        forward_pallas.tile_face_cap(num_faces), CHUNK))
     num_bands = _cdiv(height, BAND_H)
     wp = _cdiv(width, 128) * 128
     hp = num_bands * BAND_H

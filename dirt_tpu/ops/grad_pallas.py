@@ -87,7 +87,7 @@ def _pack_grad_faces(vertices, faces, height, width, num_chunks, tiles_y,
         corners[..., 0],    # x0 x1 x2
         corners[..., 1],    # y0 y1 y2
     ], axis=1)
-    pad_rows = num_chunks * CHUNK - num_faces
+    pad_rows = max(num_chunks * CHUNK, num_faces) - num_faces
     pad_value = jnp.zeros((_DF,), jnp.float32).at[0].set(float(_BIG)).at[
         2].set(float(_BIG)).at[1].set(-1.0).at[3].set(-1.0).at[4].set(-1.0)
     face_data = jnp.concatenate(
@@ -107,9 +107,13 @@ def _pack_grad_faces(vertices, faces, height, width, num_chunks, tiles_y,
     order = jnp.argsort(jnp.logical_not(overlap), axis=1, stable=True)
     counts = jnp.sum(overlap, axis=1).astype(jnp.int32)
 
+    # Per-tile face cap (see forward_pallas.tile_face_cap).
+    max_rows = num_chunks * CHUNK
+    counts = jnp.minimum(counts, max_rows)
+    order = order[:, :max_rows]
     tiled = jnp.take(face_data, order, axis=0).reshape(
         tiles_y * tiles_x, num_chunks, CHUNK, _DF)
-    sorted_orig = jnp.take(base_orig, order, axis=0)   # [T, NCK]
+    sorted_orig = jnp.take(base_orig, order, axis=0)   # [T, rows]
     return tiled, counts[:, None, None, None], sorted_orig
 
 
@@ -205,7 +209,8 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
     bary_d, face_d, dilated = pre.bary_d, pre.face_d, pre.dilated
     ax, ay, px_t, py_t = pre.ax, pre.ay, pre.px_t, pre.py_t
 
-    num_chunks = max(1, _cdiv(num_faces, CHUNK))
+    num_chunks = max(1, _cdiv(
+        forward_pallas.tile_face_cap(num_faces), CHUNK))
     tiles_y = _cdiv(height, TILE_H)
     tiles_x = _cdiv(width, TILE_W)
     hp, wp = tiles_y * TILE_H, tiles_x * TILE_W

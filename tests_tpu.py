@@ -1,0 +1,178 @@
+"""On-TPU test pass: compiled (non-interpret) kernels on the real chip.
+
+The CPU suite under tests/ runs every Pallas kernel in interpreter mode;
+this script is the device-side complement (replacing the role of the
+reference's device-executed smoke test, /root/reference/Dockerfile:47): one
+process, small shapes, persistent compile cache, asserting checks for
+
+  1. square exactness (pallas + dense backends vs the analytic formula),
+  2. random-soup visibility parity across all three backends + native oracle,
+  3. gradient-kernel parity (scalar pallas, mxu) vs the XLA path,
+  4. camera-plane-crossing scenes (clipping semantics) across backends,
+  5. deferred shading end-to-end (loss decreases over a short fit).
+
+Run from the repo root with the TPU env untouched:  python tests_tpu.py
+"""
+
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/dirt_tpu_jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import dirt_tpu
+from dirt_tpu.ops import backward, dispatch, grad_mxu, grad_pallas
+from dirt_tpu.utils import meshes, oracle
+
+FAILURES = []
+
+
+def check(name, fn):
+    t0 = time.perf_counter()
+    try:
+        fn()
+        print(f"PASS {name} ({time.perf_counter() - t0:.0f}s)", flush=True)
+    except Exception as exc:  # noqa: BLE001 - report and continue
+        FAILURES.append(name)
+        print(f"FAIL {name}: {type(exc).__name__}: {str(exc)[:500]}",
+              flush=True)
+
+
+def square_test():
+    # The reference's only automated check (tests/square_test.py): an
+    # axis-aligned white square must match the analytic pixel-coverage
+    # formula EXACTLY.  Reference scene constants: 128 px, square from 32
+    # to 96 (tests/square_test.py:11-36).
+    size, lo, hi = 128, 32., 96.
+    x0 = lo * 2. / size - 1.
+    x1 = hi * 2. / size - 1.
+    v = np.array([[x0, x0, 0, 1], [x1, x0, 0, 1],
+                  [x1, x1, 0, 1], [x0, x1, 0, 1]], np.float32)
+    f = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    c = np.ones((4, 1), np.float32)
+    bg = np.zeros((size, size, 1), np.float32)
+    cols = np.arange(size) + 0.5
+    inside = (cols >= lo) & (cols < hi)
+    want = (inside[None, :] & inside[::-1, None]).astype(np.float32)[..., None]
+    for backend in ("pallas", "dense"):
+        px = jax.jit(lambda b, vv, cc, ff: dirt_tpu.rasterise(
+            b, vv, cc, ff, backend=backend),
+            static_argnames=())(bg, v, c, f)
+        got = np.asarray(px)
+        assert (got == want).all(), (
+            f"{backend}: {int((got != want).sum())} pixels disagree")
+
+
+def soup_parity():
+    rng = np.random.RandomState(0)
+    v = rng.randn(2, 80, 4).astype(np.float32)
+    v[..., 3] = np.abs(v[..., 3]) + 0.5
+    f = rng.randint(0, 80, size=(2, 60, 3)).astype(np.int32)
+    c = rng.uniform(size=(2, 80, 3)).astype(np.float32)
+    bg = rng.uniform(size=(2, 64, 128, 3)).astype(np.float32)
+    outs = {}
+    for backend in ("reference", "pallas", "dense"):
+        px, aux = jax.jit(lambda b, vv, cc, ff, _bk=backend:
+                          dispatch.forward_batch(b, vv, cc, ff, _bk))(
+            bg, v, c, f)
+        outs[backend] = (np.asarray(px), np.asarray(aux.face_index))
+    ref_px, ref_idx = outs["reference"]
+    for backend in ("pallas", "dense"):
+        px, idx = outs[backend]
+        assert (idx == ref_idx).all(), (
+            f"{backend}: {int((idx != ref_idx).sum())} visibility mismatches")
+        np.testing.assert_allclose(px, ref_px, atol=1e-4, rtol=1e-5)
+    want_px, want_idx = oracle.rasterise(bg[0], v[0], c[0], f[0])
+    assert (ref_idx[0] == want_idx).all(), "native oracle visibility"
+    np.testing.assert_allclose(ref_px[0], want_px, atol=1e-4, rtol=1e-5)
+
+
+def grad_parity():
+    rng = np.random.RandomState(3)
+    v = rng.randn(2, 60, 4).astype(np.float32)
+    v[..., 3] = np.abs(v[..., 3]) + 0.5
+    f = rng.randint(0, 60, size=(2, 40, 3)).astype(np.int32)
+    c = rng.uniform(size=(2, 60, 3)).astype(np.float32)
+    bg = rng.uniform(size=(2, 64, 128, 3)).astype(np.float32)
+    gp = rng.randn(2, 64, 128, 3).astype(np.float32)
+    px, aux = jax.jit(lambda b, vv, cc, ff: dispatch.forward_batch(
+        b, vv, cc, ff, "pallas"))(bg, v, c, f)
+    g_xla = jax.jit(lambda vv, ff, pp, gg: backward.rasterise_grad_batch(
+        vv, ff, pp, gg, aux, implementation="xla"))(v, f, px, gp)
+    for kernel, label in ((grad_pallas, "scalar"), (grad_mxu, "mxu")):
+        g_k = jax.jit(lambda vv, ff, pp, gg, _k=kernel:
+                      _k.rasterise_grad_batch(vv, ff, pp, gg, aux,
+                                              interpret=False))(v, f, px, gp)
+        for name in ("grad_vertices", "grad_vertex_colors",
+                     "grad_background"):
+            a = np.asarray(getattr(g_xla, name))
+            b = np.asarray(getattr(g_k, name))
+            scale = max(np.abs(a).max(), 1.0)
+            err = np.abs(a / scale - b / scale).max()
+            assert err < 1e-5, f"{label} {name}: rel err {err:.2e}"
+
+
+def crossing_scene():
+    sys.path.insert(0, "tests")
+    from test_clipping import _crossing_scene
+    bg, v, c, f = _crossing_scene()
+    outs = {}
+    for backend in ("reference", "pallas", "dense"):
+        px, aux = jax.jit(lambda b, vv, cc, ff, _bk=backend:
+                          dispatch.forward_batch(b, vv, cc, ff, _bk))(
+            bg, v, c, f)
+        outs[backend] = np.asarray(aux.face_index)
+    assert (outs["pallas"] == outs["reference"]).all()
+    assert (outs["dense"] == outs["reference"]).all()
+    assert not (outs["reference"] == 2).any()   # behind-camera face clipped
+
+
+def deferred_fit():
+    rng = np.random.RandomState(0)
+    verts, faces, front, back = meshes.two_squares()
+    attrs_true = jnp.asarray(rng.uniform(size=(8, 3)).astype(np.float32))
+    bg = jnp.asarray(rng.uniform(size=(32, 64, 3)).astype(np.float32))
+    shader = lambda g: g ** 2 + 0.1 * g
+    v_j, f_j = jnp.asarray(verts), jnp.asarray(faces)
+
+    def render(a):
+        return dirt_tpu.rasterise_deferred(bg, v_j, a, f_j, shader_fn=shader)
+
+    target = render(attrs_true)
+
+    @jax.jit
+    def fit_step(a):
+        loss, grad = jax.value_and_grad(
+            lambda aa: jnp.sum((render(aa) - target) ** 2))(a)
+        return a - 0.05 * grad, loss
+
+    a = attrs_true + 0.3
+    first = None
+    for _ in range(20):
+        a, loss = fit_step(a)
+        first = float(loss) if first is None else first
+    assert np.isfinite(float(loss))
+    assert float(loss) < 0.5 * first, (first, float(loss))
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+    check("square exactness (pallas + dense)", square_test)
+    check("random-soup parity (3 backends + oracle)", soup_parity)
+    check("gradient-kernel parity (scalar + mxu vs xla)", grad_parity)
+    check("camera-crossing clipping semantics", crossing_scene)
+    check("deferred shading end-to-end fit", deferred_fit)
+    if FAILURES:
+        print("FAILED:", FAILURES, flush=True)
+        return 1
+    print("ALL TPU CHECKS PASSED", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
