@@ -295,13 +295,19 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
                          implementation=None):
     """Batched gradient assembly ([B, ...] on every argument).
 
-    `implementation`: "pallas" (face-major scalar-reduction kernel,
+    `implementation`: "dense" (chunk-dense VPU-reduction kernel,
+    ops/grad_dense.py), "pallas" (face-major scalar-reduction kernel,
     ops/grad_pallas.py), "mxu" (mask-matrix contraction kernel,
     ops/grad_mxu.py), "xla" (segment_sum scatters, this module), or None for
-    automatic (on TPU: mxu for dense scenes, pallas otherwise; overridable
-    with DIRT_TPU_GRAD_BACKEND).
+    automatic (see _auto_grad_kernel; overridable with
+    DIRT_TPU_GRAD_BACKEND).
     """
     import os
+    from . import dispatch
+    # Constants folded through the compile relay arrive corrupted; see
+    # dispatch.guard_constants.
+    vertices, faces, pixels, grad_pixels, aux = dispatch.guard_constants(
+        vertices, faces, pixels, grad_pixels, aux)
     if implementation is None:
         implementation = os.environ.get("DIRT_TPU_GRAD_BACKEND", "auto")
     if implementation == "auto":
@@ -315,6 +321,10 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
         from . import grad_pallas
         return grad_pallas.rasterise_grad_batch(
             vertices, faces, pixels, grad_pixels, aux)
+    if implementation == "dense":
+        from . import grad_dense
+        return grad_dense.rasterise_grad_batch(
+            vertices, faces, pixels, grad_pixels, aux)
     if implementation == "mxu":
         from . import grad_mxu
         return grad_mxu.rasterise_grad_batch(
@@ -326,14 +336,18 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
 def _auto_grad_kernel(num_faces, image_hw):
     """Static kernel choice for the TPU gradient assembly.
 
-    The MXU contraction kernel's cost is ~independent of how many faces
-    actually hit each band (dense [CHUNK, pixels] matmuls), while the
-    scalar-reduction kernel pays per face visit; measured on TPU v5e the MXU
-    kernel wins from a few hundred faces upward (see BASELINE.md round-2
-    table) and the scalar kernel only for very sparse scenes.
+    The chunk-dense kernel (ops/grad_dense.py) is the production choice:
+    measured on TPU v5e (round 2) it is the fastest of the four
+    implementations (8.1 ms vs 13.8 ms scalar at the 512-face bench scene)
+    AND the only Pallas one that matches the XLA ground truth on-device at
+    multi-chunk configurations -- the face-major scalar kernel miscompiles
+    through Mosaic once num_chunks > 1 (wrong values/NaN; fine in
+    interpreter mode), and the MXU contraction kernel is slower still
+    (Precision.HIGHEST 6-pass matmuls).  Both remain available via
+    DIRT_TPU_GRAD_BACKEND for comparison.
     """
-    del image_hw
-    return "mxu" if num_faces >= 256 else "pallas"
+    del num_faces, image_hw
+    return "dense"
 
 
 def rasterise_grad_grouped(vertices, faces, pixels, grad_pixels, aux):

@@ -1,17 +1,19 @@
 """Backend dispatch for the forward rasteriser.
 
 Backends:
-  * "pallas":    tile-binned Pallas TPU kernel (ops/forward_pallas.py); runs
-                 in interpreter mode automatically off-TPU so tests exercise
-                 the same kernel code on CPU.
+  * "dense":     dense single-pass Pallas TPU kernel (ops/forward_dense.py),
+                 whole face chunks as vector planes; the production path.
+  * "pallas":    per-face tile-binned Pallas TPU kernel
+                 (ops/forward_pallas.py); runs in interpreter mode
+                 automatically off-TPU so tests exercise the kernel on CPU.
   * "reference": brute-force XLA scan (ops/reference.py), the oracle.
-  * None/"auto": pallas on TPU, reference elsewhere (fast for CPU tests).
+  * None/"auto": dense on TPU, reference elsewhere (fast for CPU tests).
 
 Selection can be forced globally with the DIRT_TPU_BACKEND environment
-variable.  Both backends implement the fragment semantics of ops/geometry.py:
+variable.  All backends implement the fragment semantics of ops/geometry.py:
 winning-face maps match bit-exactly on tie-free scenes, interpolated values
-to FMA-contraction rounding (the fused kernel shades in-kernel; the reference
-backend shades via ops/reference.shade_pixels).
+to FMA-contraction rounding (the fused kernels shade in-kernel; the
+reference backend shades via ops/reference.shade_pixels).
 """
 
 import os
@@ -42,11 +44,35 @@ def on_accelerator():
     return "tpu" in kind
 
 
+def guard_constants(*arrays):
+    """optimization_barrier for non-tracer (compile-time-constant) inputs.
+
+    Scene arrays that enter a jitted computation as closure constants are
+    eligible for XLA constant folding.  Through the axon remote-compile
+    relay, folded products were observed to arrive CORRUPTED on device
+    (measured round 2: corner-attribute columns for channels >= 1 folded to
+    zeros -- forward pixels wrong by up to 0.98 with bit-exact aux; gradient
+    plane tables / aliased zero-init blocks arrived as garbage, sending the
+    face-major gradient kernel to NaN).  Passing the same arrays as jit
+    arguments, or routing them through optimization_barrier, is bit-exact.
+    Tracers pass through untouched, so differentiated fit-loop inputs lose
+    no optimisation freedom.
+    """
+    def one(x):
+        if isinstance(x, jax.core.Tracer):
+            return x
+        return jax.lax.optimization_barrier(x)
+    return tuple(jax.tree.map(one, a) for a in arrays)
+
+
 def default_backend():
     env = os.environ.get("DIRT_TPU_BACKEND", "auto")
     if env != "auto":
         return env
-    return "pallas" if on_accelerator() else "reference"
+    # The dense single-pass kernel is the production TPU forward: 4.75 ms vs
+    # 8.16 ms for the per-face kernel at the 16x256^2x512f bench scene
+    # (round 2, v5e), bit-exact winner maps on tie-free scenes.
+    return "dense" if on_accelerator() else "reference"
 
 
 def forward_batch(background, vertices, vertex_colors, faces, backend=None):
@@ -70,6 +96,9 @@ def forward_batch(background, vertices, vertex_colors, faces, backend=None):
         raise ValueError(
             f"channel mismatch: vertex_colors {vertex_colors.shape} vs "
             f"background {background.shape}")
+
+    background, vertices, vertex_colors, faces = guard_constants(
+        background, vertices, vertex_colors, faces)
 
     chosen = backend or default_backend()
     if chosen == "reference":

@@ -1,0 +1,212 @@
+"""Dense Pallas TPU kernel for the gradient scatters.
+
+Same gradient semantics as ops/backward.py / ops/grad_pallas.py (the
+reference's assemble_grads kernel, csrc/rasterise_grad_egl.cu:93-236), with
+the per-face masked pixel reductions computed DENSELY over a whole face
+chunk at once, mirroring ops/forward_dense.py's treatment of the forward
+sweep:
+
+    mask_d  [CHUNK, PIX] = (face_d == fid)          winner mask per face
+    wd_k    [CHUNK, PIX] = mask_d ? bary_d_k : 0
+    sums    [CHUNK, 1]   = reduce over the pixel axis
+
+so every accumulation is a full-width VPU reduction of a [CHUNK, PIX]
+plane; there is no per-face `fori_loop`, no scalar SMEM accumulation (the
+serialisation that bounds ops/grad_pallas.py at ~13.7 ms on the bench
+scene), and no MXU precision contortions (ops/grad_mxu.py's
+Precision.HIGHEST 6-pass matmuls measured slower than the scalar kernel).
+
+The face-dependent viewport term is built by broadcasting face corner
+columns against pixel rows, exactly like the dense forward kernel:
+
+    cx [CHUNK, PIX] = bd0 * x0[f] + bd1 * x1[f] + bd2 * x2[f]
+    p  [CHUNK, PIX] = Px * cx + Py * cy
+    gw_k           = -sum_pix (mask_d ? bd_k : 0) * p
+
+The pixel-plane block is indexed per tile only, so Pallas fetches it once
+per (batch, tile) and the chunk sweep re-uses it from VMEM; only the tiny
+[CHUNK, DF] face table streams per chunk.
+
+Padded face slots (fid -1) and padded pixels (all-zero planes) contribute
+exact zeros: every reduced product carries an `ax/ay/Px/Py/bary_pre`
+factor that the XLA pre-pass zeroes outside coverage, so visiting the full
+chunk is correct, only wasteful (same argument as forward_dense).
+"""
+
+import functools
+import os as _os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import backward, forward_pallas, grad_pallas
+
+TILE_H = int(_os.environ.get("DIRT_TPU_GRAD_DENSE_TILE_H", 32))
+TILE_W = int(_os.environ.get("DIRT_TPU_GRAD_DENSE_TILE_W", 128))
+CHUNK = int(_os.environ.get("DIRT_TPU_GRAD_DENSE_CHUNK", 64))
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _grad_kernel(count_ref, face_ref, planes_ref, out_ref, *, channels):
+    # grid: (batch, tile, chunk); every (tile, chunk) owns its own output
+    # block, so all three grid dimensions are parallel.
+    chunk_idx = pl.program_id(2)
+    d_out = 9 + 3 * channels
+    chunk_active = chunk_idx * CHUNK < count_ref[0, 0, 0, 0, 0]
+
+    @pl.when(jnp.logical_not(chunk_active))
+    def _skip():
+        out_ref[0, 0, 0] = jnp.zeros((CHUNK, d_out), jnp.float32)
+
+    @pl.when(chunk_active)
+    def _process():
+        def plane(i):
+            return planes_ref[0, 0, i:i + 1, :]            # [1, PIX]
+
+        def col(i):
+            return face_ref[0, 0, 0, :, i:i + 1]           # [CHUNK, 1]
+
+        # Plane order (see rasterise_grad_batch below):
+        #   0 ax, 1 ay, 2 Px, 3 Py, 4-6 bary_d, 7 face_d,
+        #   8-10 bary_pre, 11 face_pre, 12.. grad_pixels channels
+        fid = col(4)                                       # original index
+        mask_d = plane(7) == fid                           # [CHUNK, PIX]
+        mask_pre = plane(11) == fid
+
+        # Face-dependent fragment clip x, y and the viewport w-term.
+        cx = (plane(4) * col(6) + plane(5) * col(7)) + plane(6) * col(8)
+        cy = (plane(4) * col(9) + plane(5) * col(10)) + plane(6) * col(11)
+        p = plane(2) * cx + plane(3) * cy
+
+        def rsum(a):                                       # [CHUNK, 1]
+            return jnp.sum(a, axis=1, keepdims=True)
+
+        sums = []
+        for k in range(3):
+            wd = jnp.where(mask_d, plane(4 + k), 0.0)
+            sums.append(rsum(wd * plane(0)))               # gx_k
+            sums.append(rsum(wd * plane(1)))               # gy_k
+            sums.append(-rsum(wd * p))                     # gw_k
+            wp = jnp.where(mask_pre, plane(8 + k), 0.0)
+            for c in range(channels):
+                sums.append(rsum(wp * plane(12 + c)))      # gcolor_kc
+        out_ref[0, 0, 0] = jnp.concatenate(sums, axis=1)   # [CHUNK, d_out]
+
+
+def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
+                         interpret=None):
+    """Dense Pallas gradient assembly; same contract and semantics as
+    backward.rasterise_grad_batch (all arguments [B, ...])."""
+    if interpret is None:
+        from . import dispatch
+        interpret = not dispatch.on_accelerator()
+
+    vertices = jnp.asarray(vertices, jnp.float32)
+    faces = jnp.asarray(faces, jnp.int32)
+    pixels = jnp.asarray(pixels, jnp.float32)
+    grad_pixels = jnp.asarray(grad_pixels, jnp.float32)
+
+    batch, height, width, channels = pixels.shape
+    num_vertices = vertices.shape[1]
+    num_faces = faces.shape[1]
+
+    if num_faces == 0:
+        return backward.RasteriseGrads(
+            grad_background=grad_pixels,
+            grad_vertices=jnp.zeros((batch, num_vertices, 4), jnp.float32),
+            grad_vertex_colors=jnp.zeros(
+                (batch, num_vertices, channels), jnp.float32),
+            debug=jnp.zeros((batch, height, width), jnp.float32))
+
+    # --- elementwise XLA pre-pass (Scharr, dilation, chain-rule factors) ---
+    pre = backward.grad_prepass(pixels, grad_pixels, aux)
+
+    num_chunks = max(1, _cdiv(
+        forward_pallas.tile_face_cap(num_faces), CHUNK))
+    tiles_y = _cdiv(height, TILE_H)
+    tiles_x = _cdiv(width, TILE_W)
+    num_tiles = tiles_y * tiles_x
+    hp, wp = tiles_y * TILE_H, tiles_x * TILE_W
+    pix = TILE_H * TILE_W
+    n_planes = 12 + channels
+    d_out = 9 + 3 * channels
+
+    f32 = lambda a: a.astype(jnp.float32)
+    planes = jnp.concatenate([
+        jnp.stack([pre.ax, pre.ay, pre.px_t, pre.py_t], axis=1),
+        jnp.moveaxis(pre.bary_d, -1, 1),
+        f32(pre.face_d)[:, None],
+        jnp.moveaxis(pre.bary_pre, -1, 1),
+        f32(pre.face_pre)[:, None],
+        jnp.moveaxis(grad_pixels, -1, 1),
+    ], axis=1)                                        # [B, NP, H, W]
+    # Tile to [B, T, NP, PIX] (one transposing copy; padded pixels keep
+    # face ids intact but all value planes zero, so they contribute zeros).
+    planes = jnp.pad(planes, ((0, 0), (0, 0), (0, hp - height),
+                              (0, wp - width)))
+    planes = planes.reshape(batch, n_planes, tiles_y, TILE_H, tiles_x, TILE_W)
+    planes = planes.transpose(0, 2, 4, 1, 3, 5).reshape(
+        batch, num_tiles, n_planes, pix)
+
+    # Reuse the gradient packer (dilation-widened bboxes, hits-first order);
+    # the dense kernel reads columns 4 (orig index) and 6-11 (corner x, y).
+    face_data, counts, sorted_orig = jax.vmap(
+        functools.partial(grad_pallas._pack_grad_faces, height=height,
+                          width=width, num_chunks=num_chunks, tiles_y=tiles_y,
+                          tiles_x=tiles_x, chunk=CHUNK, tile_h=TILE_H,
+                          tile_w=TILE_W))(vertices, faces)
+
+    kernel = functools.partial(_grad_kernel, channels=channels)
+
+    face_grads = pl.pallas_call(
+        kernel,
+        grid=(batch, num_tiles, num_chunks),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, 1, 1),
+                         lambda b, t, c: (b, t, 0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, CHUNK, grad_pallas._DF),
+                         lambda b, t, c: (b, t, c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # Indexed per tile only: the chunk sweep (innermost grid dim)
+            # re-uses the block without a fresh DMA.
+            pl.BlockSpec((1, 1, n_planes, pix),
+                         lambda b, t, c: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, CHUNK, d_out),
+                               lambda b, t, c: (b, t, c, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (batch, num_tiles, num_chunks, CHUNK, d_out), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel")),
+        interpret=interpret,
+    )(counts, face_data, planes)
+
+    # --- tiny face-corner -> vertex scatter (face-count sized) ---
+    face_grads = face_grads.reshape(
+        batch, num_tiles * num_chunks * CHUNK, 3, 3 + channels)
+    corner_vids = jnp.take_along_axis(
+        faces, sorted_orig.reshape(batch, -1)[..., None], axis=1)
+    batch_offsets = (jnp.arange(batch, dtype=jnp.int32)
+                     * num_vertices)[:, None, None]
+    seg = (corner_vids + batch_offsets).reshape(-1)
+    rows = face_grads.reshape(-1, 3 + channels)
+    summed = jax.ops.segment_sum(rows, seg,
+                                 num_segments=batch * num_vertices)
+    summed = summed.reshape(batch, num_vertices, 3 + channels)
+
+    grad_vertices = jnp.stack([
+        summed[..., 0], summed[..., 1],
+        jnp.zeros_like(summed[..., 0]), summed[..., 2],
+    ], axis=-1)
+    grad_vertex_colors = summed[..., 3:]
+    debug = jnp.where(pre.dilated, 1.e-2, 0.0)
+    return backward.RasteriseGrads(
+        pre.grad_background, grad_vertices, grad_vertex_colors, debug)

@@ -43,14 +43,20 @@ def _cdiv(a, b):
 
 
 def _pack_grad_faces(vertices, faces, height, width, num_chunks, tiles_y,
-                     tiles_x):
+                     tiles_x, chunk=None, tile_h=None, tile_w=None):
     """Face table for the gradient kernel: exact per-tile hits-first lists
     (see forward_pallas._pack_faces), with bboxes widened one pixel for
     dilation support.
 
     Returns (face_data [T, NC, CHUNK, _DF] f32, counts [T, 1, 1, 1, 1] i32,
     sorted_orig [T, NC * CHUNK] i32 mapping kernel rows to original faces).
+
+    `chunk` / `tile_h` / `tile_w` default to this module's configuration;
+    ops/grad_dense.py reuses the packer with its own shapes.
     """
+    chunk = CHUNK if chunk is None else chunk
+    tile_h = TILE_H if tile_h is None else tile_h
+    tile_w = TILE_W if tile_w is None else tile_w
     num_faces = faces.shape[0]
     setup = geometry.face_setup(vertices, faces)
 
@@ -87,7 +93,7 @@ def _pack_grad_faces(vertices, faces, height, width, num_chunks, tiles_y,
         corners[..., 0],    # x0 x1 x2
         corners[..., 1],    # y0 y1 y2
     ], axis=1)
-    pad_rows = max(num_chunks * CHUNK, num_faces) - num_faces
+    pad_rows = max(num_chunks * chunk, num_faces) - num_faces
     pad_value = jnp.zeros((_DF,), jnp.float32).at[0].set(float(_BIG)).at[
         2].set(float(_BIG)).at[1].set(-1.0).at[3].set(-1.0).at[4].set(-1.0)
     face_data = jnp.concatenate(
@@ -96,11 +102,11 @@ def _pack_grad_faces(vertices, faces, height, width, num_chunks, tiles_y,
         [jnp.arange(num_faces, dtype=jnp.int32),
          jnp.zeros((pad_rows,), jnp.int32)])
 
-    tile_r0 = jnp.arange(tiles_y, dtype=jnp.int32) * TILE_H
-    tile_c0 = jnp.arange(tiles_x, dtype=jnp.int32) * TILE_W
-    hit_rows = ((face_data[None, :, 0] <= (tile_r0 + TILE_H - 1)[:, None])
+    tile_r0 = jnp.arange(tiles_y, dtype=jnp.int32) * tile_h
+    tile_c0 = jnp.arange(tiles_x, dtype=jnp.int32) * tile_w
+    hit_rows = ((face_data[None, :, 0] <= (tile_r0 + tile_h - 1)[:, None])
                 & (face_data[None, :, 1] >= tile_r0[:, None]))
-    hit_cols = ((face_data[None, :, 2] <= (tile_c0 + TILE_W - 1)[:, None])
+    hit_cols = ((face_data[None, :, 2] <= (tile_c0 + tile_w - 1)[:, None])
                 & (face_data[None, :, 3] >= tile_c0[:, None]))
     overlap = (hit_rows[:, None, :] & hit_cols[None, :, :]).reshape(
         tiles_y * tiles_x, -1)
@@ -108,11 +114,11 @@ def _pack_grad_faces(vertices, faces, height, width, num_chunks, tiles_y,
     counts = jnp.sum(overlap, axis=1).astype(jnp.int32)
 
     # Per-tile face cap (see forward_pallas.tile_face_cap).
-    max_rows = num_chunks * CHUNK
+    max_rows = num_chunks * chunk
     counts = jnp.minimum(counts, max_rows)
     order = order[:, :max_rows]
     tiled = jnp.take(face_data, order, axis=0).reshape(
-        tiles_y * tiles_x, num_chunks, CHUNK, _DF)
+        tiles_y * tiles_x, num_chunks, chunk, _DF)
     sorted_orig = jnp.take(base_orig, order, axis=0)   # [T, rows]
     return tiled, counts[:, None, None, None], sorted_orig
 
@@ -211,6 +217,17 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
 
     num_chunks = max(1, _cdiv(
         forward_pallas.tile_face_cap(num_faces), CHUNK))
+    if not interpret and num_chunks > 1:
+        # Mosaic miscompiles this kernel's multi-chunk configuration on real
+        # TPUs (wrong values / NaN; verified against the XLA path on v5e with
+        # constant-folding guards in place, round 2).  Interpreter mode and
+        # single-chunk compiled mode are correct.  The chunk-dense kernel
+        # (ops/grad_dense.py) is faster anyway and correct at every
+        # configuration -- use it (DIRT_TPU_GRAD_BACKEND=dense or auto).
+        raise NotImplementedError(
+            "grad_pallas compiled with num_chunks > 1 miscompiles on TPU; "
+            "use the dense gradient kernel (DIRT_TPU_GRAD_BACKEND=dense) or "
+            "raise DIRT_TPU_GRAD_CHUNK above the face count.")
     tiles_y = _cdiv(height, TILE_H)
     tiles_x = _cdiv(width, TILE_W)
     hp, wp = tiles_y * TILE_H, tiles_x * TILE_W

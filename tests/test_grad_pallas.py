@@ -1,4 +1,4 @@
-"""Pallas gradient kernels (scalar-reduction and MXU) vs the XLA path.
+"""Pallas gradient kernels (scalar-reduction, chunk-dense, MXU) vs XLA.
 
 All implement the same analytic gradient assembly; they may differ only by
 floating-point summation order (per-tile reductions / mask-matrix
@@ -9,10 +9,10 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from dirt_tpu.ops import backward, dispatch, grad_mxu, grad_pallas
+from dirt_tpu.ops import backward, dispatch, grad_dense, grad_mxu, grad_pallas
 from dirt_tpu.utils import meshes
 
-KERNELS = [grad_pallas, grad_mxu]
+KERNELS = [grad_pallas, grad_dense, grad_mxu]
 
 
 def _compare(vertices, faces, colors, background, grad_pixels,
@@ -74,6 +74,7 @@ def test_random_soup_grads_match(channels):
 def test_many_faces_multiple_chunks_grads_match(monkeypatch):
     monkeypatch.setattr(grad_pallas, "CHUNK", 64)
     monkeypatch.setattr(grad_mxu, "CHUNK", 64)
+    monkeypatch.setattr(grad_dense, "CHUNK", 32)
     rng = np.random.RandomState(11)
     n = 140
     centres = rng.uniform(-0.9, 0.9, size=(n, 2)).astype(np.float32)

@@ -7,7 +7,7 @@ process, small shapes, persistent compile cache, asserting checks for
 
   1. square exactness (pallas + dense backends vs the analytic formula),
   2. random-soup visibility parity across all three backends + native oracle,
-  3. gradient-kernel parity (scalar pallas, mxu) vs the XLA path,
+  3. gradient-kernel parity (scalar pallas, chunk-dense, mxu) vs XLA,
   4. camera-plane-crossing scenes (clipping semantics) across backends,
   5. deferred shading end-to-end (loss decreases over a short fit).
 
@@ -26,7 +26,7 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import dirt_tpu
-from dirt_tpu.ops import backward, dispatch, grad_mxu, grad_pallas
+from dirt_tpu.ops import backward, dispatch, grad_dense, grad_mxu, grad_pallas
 from dirt_tpu.utils import meshes, oracle
 
 FAILURES = []
@@ -104,7 +104,8 @@ def grad_parity():
         b, vv, cc, ff, "pallas"))(bg, v, c, f)
     g_xla = jax.jit(lambda vv, ff, pp, gg: backward.rasterise_grad_batch(
         vv, ff, pp, gg, aux, implementation="xla"))(v, f, px, gp)
-    for kernel, label in ((grad_pallas, "scalar"), (grad_mxu, "mxu")):
+    for kernel, label in ((grad_pallas, "scalar"), (grad_dense, "dense"),
+                          (grad_mxu, "mxu")):
         g_k = jax.jit(lambda vv, ff, pp, gg, _k=kernel:
                       _k.rasterise_grad_batch(vv, ff, pp, gg, aux,
                                               interpret=False))(v, f, px, gp)
@@ -164,7 +165,7 @@ def main():
     print("devices:", jax.devices(), flush=True)
     check("square exactness (pallas + dense)", square_test)
     check("random-soup parity (3 backends + oracle)", soup_parity)
-    check("gradient-kernel parity (scalar + mxu vs xla)", grad_parity)
+    check("gradient-kernel parity (scalar + dense + mxu vs xla)", grad_parity)
     check("camera-crossing clipping semantics", crossing_scene)
     check("deferred shading end-to-end fit", deferred_fit)
     if FAILURES:
