@@ -164,10 +164,12 @@ def rasterise_batch(background, vertices, vertex_colors, faces,
         from . import dispatch
         interpret = not dispatch.on_accelerator()
 
-    background = jnp.asarray(background, jnp.float32)
-    vertices = jnp.asarray(vertices, jnp.float32)
-    vertex_colors = jnp.asarray(vertex_colors, jnp.float32)
-    faces = jnp.asarray(faces, jnp.int32)
+    from . import dispatch as _dispatch
+    background, vertices, vertex_colors, faces = _dispatch.guard_constants(
+        jnp.asarray(background, jnp.float32),
+        jnp.asarray(vertices, jnp.float32),
+        jnp.asarray(vertex_colors, jnp.float32),
+        jnp.asarray(faces, jnp.int32))
 
     batch, height, width, channels = background.shape
     num_faces = faces.shape[1]

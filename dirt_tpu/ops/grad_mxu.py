@@ -148,10 +148,12 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
         from . import dispatch
         interpret = not dispatch.on_accelerator()
 
-    vertices = jnp.asarray(vertices, jnp.float32)
-    faces = jnp.asarray(faces, jnp.int32)
-    pixels = jnp.asarray(pixels, jnp.float32)
-    grad_pixels = jnp.asarray(grad_pixels, jnp.float32)
+    from . import dispatch as _dispatch
+    vertices, faces, pixels, grad_pixels, aux = _dispatch.guard_constants(
+        jnp.asarray(vertices, jnp.float32),
+        jnp.asarray(faces, jnp.int32),
+        jnp.asarray(pixels, jnp.float32),
+        jnp.asarray(grad_pixels, jnp.float32), aux)
 
     batch, height, width, channels = pixels.shape
     num_vertices = vertices.shape[1]
