@@ -45,24 +45,36 @@ def on_accelerator():
 
 
 def guard_constants(*arrays):
-    """optimization_barrier for non-tracer (compile-time-constant) inputs.
+    """Couples compile-time-constant inputs to a tracer so XLA cannot
+    constant-fold computations derived from them.
 
     Scene arrays that enter a jitted computation as closure constants are
     eligible for XLA constant folding.  Through the axon remote-compile
     relay, folded products were observed to arrive CORRUPTED on device
-    (measured round 2: corner-attribute columns for channels >= 1 folded to
-    zeros -- forward pixels wrong by up to 0.98 with bit-exact aux; gradient
-    plane tables / aliased zero-init blocks arrived as garbage, sending the
-    face-major gradient kernel to NaN).  Passing the same arrays as jit
-    arguments, or routing them through optimization_barrier, is bit-exact.
-    Tracers pass through untouched, so differentiated fit-loop inputs lose
-    no optimisation freedom.
+    (measured round 2: the folded corner-attribute gather zeroes every
+    channel >= 1 -- forward pixels wrong by up to 0.98 with bit-exact aux;
+    folded gradient plane tables arrived as garbage, sending the face-major
+    gradient kernel to NaN).
+
+    A per-leaf `optimization_barrier(const)` does NOT protect: applied to a
+    concrete (non-tracer) array it executes eagerly at trace time and yields
+    another concrete array, so no barrier ever enters the jaxpr and the
+    constant folds anyway (verified on device).  The working guard runs ONE
+    `optimization_barrier` over all leaves jointly; if any leaf is a tracer
+    the barrier is a traced op and every constant leaf comes back as a
+    tracer bound to it -- unfoldable by construction.
+
+    When every leaf is concrete (fully-eager call) the inputs are returned
+    untouched: trace-time operations on concrete arrays execute through the
+    normal eager path on device (correct), and embedding the *results* as
+    literals is exact (only compile-time folding through the relay
+    corrupts).
     """
-    def one(x):
-        if isinstance(x, jax.core.Tracer):
-            return x
-        return jax.lax.optimization_barrier(x)
-    return tuple(jax.tree.map(one, a) for a in arrays)
+    leaves, treedef = jax.tree.flatten(tuple(arrays))
+    if not any(isinstance(leaf, jax.core.Tracer) for leaf in leaves):
+        return arrays
+    guarded = jax.lax.optimization_barrier(tuple(leaves))
+    return jax.tree.unflatten(treedef, list(guarded))
 
 
 def default_backend():

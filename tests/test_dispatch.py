@@ -1,0 +1,80 @@
+"""Unit tests for ops/dispatch.py: backend selection and the constant guard.
+
+The constant guard exists because XLA constant folding of scene data that
+enters a jit as closure constants was observed (on the TPU remote-compile
+path) to produce corrupted folded products -- e.g. the corner-attribute
+gather folding channels >= 1 to zeros.  The guard must therefore make every
+constant leaf a tracer (bound to one joint optimization_barrier) whenever
+any leaf is a tracer; a per-leaf barrier on a concrete array executes
+eagerly at trace time and protects nothing.  These tests pin that
+mechanism hermetically (the corruption itself is not reproducible on CPU).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dirt_tpu.ops import dispatch
+
+
+def test_guard_constants_concrete_passthrough():
+    a = jnp.arange(6.0).reshape(2, 3)
+    b = jnp.ones((3,), jnp.int32)
+    ga, gb = dispatch.guard_constants(a, b)
+    # Fully-concrete calls are untouched (eager execution is safe).
+    np.testing.assert_array_equal(np.asarray(ga), np.asarray(a))
+    np.testing.assert_array_equal(np.asarray(gb), np.asarray(b))
+    assert not isinstance(ga, jax.core.Tracer)
+
+
+def test_guard_constants_couples_constants_to_tracer():
+    const = jnp.arange(6.0).reshape(2, 3)
+    seen = {}
+
+    def f(x):
+        gc, gx = dispatch.guard_constants(const, x)
+        seen["const_is_tracer"] = isinstance(gc, jax.core.Tracer)
+        return gc * gx
+
+    jaxpr = jax.make_jaxpr(f)(jnp.ones((2, 3)))
+    # The constant leaf must come back as a tracer (else downstream uses
+    # of it remain foldable constants), and the joint barrier must be a
+    # real equation in the jaxpr.
+    assert seen["const_is_tracer"]
+    assert any(eq.primitive.name == "optimization_barrier"
+               for eq in jaxpr.jaxpr.eqns)
+
+
+def test_guard_constants_preserves_pytrees():
+    const = jnp.arange(4.0)
+    tree = {"a": jnp.zeros((2, 2)), "b": (jnp.ones(3),)}
+
+    def f(x):
+        gc, gt = dispatch.guard_constants(const, tree)
+        assert set(gt) == {"a", "b"}
+        assert isinstance(gt["b"], tuple)
+        return gc.sum() + gt["a"].sum() + gt["b"][0].sum() + x
+
+    out = jax.jit(f)(jnp.float32(0.0))
+    np.testing.assert_allclose(np.asarray(out), 6.0 + 0.0 + 3.0)
+
+
+def test_guarded_closure_constants_match_args(monkeypatch):
+    # The production shape of the hazard: scene data closed over by a user
+    # jit while one input (the optimised vertices) is a tracer.  Outputs
+    # must match the all-args call exactly.
+    rng = np.random.RandomState(3)
+    v = rng.uniform(-1, 1, size=(1, 12, 4)).astype(np.float32) + \
+        np.array([0, 0, 0, 2], np.float32)
+    f = rng.randint(0, 12, size=(1, 6, 3)).astype(np.int32)
+    c = rng.uniform(size=(1, 12, 3)).astype(np.float32)
+    bg = rng.uniform(size=(1, 16, 128, 3)).astype(np.float32)
+
+    bgj, cj, fj = jnp.asarray(bg), jnp.asarray(c), jnp.asarray(f)
+    px_closure, aux_closure = jax.jit(
+        lambda vv: dispatch.forward_batch(bgj, vv, cj, fj))(jnp.asarray(v))
+    px_args, aux_args = jax.jit(dispatch.forward_batch)(
+        jnp.asarray(bg), jnp.asarray(v), jnp.asarray(c), jnp.asarray(f))
+    np.testing.assert_array_equal(np.asarray(px_closure), np.asarray(px_args))
+    np.testing.assert_array_equal(np.asarray(aux_closure.face_index),
+                                  np.asarray(aux_args.face_index))
