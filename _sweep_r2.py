@@ -1,0 +1,73 @@
+"""Round-2 recorded scaling sweep at production defaults (dense+dense).
+
+Configs: resolution sweep at fixed face count, face-density sweep at fixed
+resolution, and a large-mesh config.  Slope-harness timing identical to
+bench.py; oracle parity gate on the first image of each config.
+"""
+import time
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update('jax_compilation_cache_dir', '/tmp/dirt_tpu_jax_cache_tpu')
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
+
+import dirt_tpu
+from dirt_tpu.ops import dispatch
+from dirt_tpu.utils import oracle
+import bench as B
+
+
+def run(batch, res, segments, iters=20, verify=True):
+    bg, clip, colors, faces, weights = B.build_scene(batch, res, segments)
+    if verify:
+        px, aux = jax.jit(lambda cc: dispatch.forward_batch(
+            bg[:1], cc, colors[:1], faces[:1]))(clip[:1])
+        want_px, want_idx = oracle.rasterise(
+            np.asarray(bg[0]), np.asarray(clip[0]), np.asarray(colors[0]),
+            np.asarray(faces[0]))
+        ok_idx = (np.asarray(aux.face_index[0]) == want_idx).all()
+        ok_px = np.abs(np.asarray(px[0]) - want_px).max() < 1e-4
+        tagv = "parity OK" if (ok_idx and ok_px) else "PARITY FAIL"
+    else:
+        tagv = "unverified"
+
+    def loss(cv):
+        return jnp.sum(dirt_tpu.rasterise_batch(
+            bg, cv, colors, faces) * weights)
+
+    grad_fn = jax.grad(loss)
+
+    def make_runner(length):
+        def body(c, _):
+            return c + 1e-20 * grad_fn(c), ()
+        return jax.jit(
+            lambda c: jax.lax.scan(body, c, None, length=length)[0])
+
+    short, long_ = make_runner(iters), make_runner(iters * 3)
+
+    def timed(fn, nonce):
+        jax.block_until_ready(fn(clip))
+        times = []
+        for k in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(clip + nonce * (k + 1)))
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    t_s, t_l = timed(short, 1e-6), timed(long_, 2e-6)
+    per_step = max((t_l - t_s) / (2 * iters), 1e-9)
+    fps = batch / per_step
+    print(f"{res}x{res} b{batch} f{segments * 8}: {fps:.1f} f/s/chip "
+          f"({per_step * 1e3:.2f} ms/step, {tagv})", flush=True)
+
+
+if __name__ == "__main__":
+    run(16, 128, 64)
+    run(16, 256, 64)
+    run(4, 512, 64)
+    run(16, 256, 256)                 # 2048 faces
+    run(16, 256, 1024, iters=5)       # 8192 faces
+    run(4, 512, 8192, iters=3)        # 65536 faces, large-mesh config
+    print('done', flush=True)

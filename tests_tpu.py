@@ -161,6 +161,36 @@ def deferred_fit():
     assert float(loss) < 0.5 * first, (first, float(loss))
 
 
+def closure_constant_regression():
+    # Scene data captured as jit closure constants must render/differentiate
+    # identically to the all-args call.  Regression for the round-2 relay
+    # constant-folding corruption (the folded corner-attribute gather zeroed
+    # channels >= 1); dispatch.guard_constants couples constants to a tracer
+    # through one joint optimization_barrier -- a per-leaf barrier on
+    # concrete arrays executes eagerly and protects nothing.
+    rng = np.random.RandomState(11)
+    v = rng.randn(2, 60, 4).astype(np.float32)
+    v[..., 3] = np.abs(v[..., 3]) + 0.5
+    f = jnp.asarray(rng.randint(0, 60, size=(2, 45, 3)).astype(np.int32))
+    c = jnp.asarray(rng.uniform(size=(2, 60, 3)).astype(np.float32))
+    bg = jnp.asarray(rng.uniform(size=(2, 64, 128, 3)).astype(np.float32))
+    w = jnp.asarray(rng.uniform(size=(2, 64, 128, 3)).astype(np.float32))
+
+    px_c = jax.jit(lambda vv: dirt_tpu.rasterise_batch(bg, vv, c, f))(
+        jnp.asarray(v))
+    px_a = jax.jit(dirt_tpu.rasterise_batch)(
+        bg, jnp.asarray(v), c, f)
+    assert (np.asarray(px_c) == np.asarray(px_a)).all(), "forward closure"
+
+    g_c = jax.jit(jax.grad(lambda vv: jnp.sum(
+        dirt_tpu.rasterise_batch(bg, vv, c, f) * w)))(jnp.asarray(v))
+    g_a = jax.jit(jax.grad(lambda vv, b_, c_, f_, w_: jnp.sum(
+        dirt_tpu.rasterise_batch(b_, vv, c_, f_) * w_)))(
+        jnp.asarray(v), bg, c, f, w)
+    assert np.isfinite(np.asarray(g_c)).all(), "closure grads not finite"
+    assert (np.asarray(g_c) == np.asarray(g_a)).all(), "grad closure"
+
+
 def main():
     print("devices:", jax.devices(), flush=True)
     check("square exactness (pallas + dense)", square_test)
@@ -168,6 +198,8 @@ def main():
     check("gradient-kernel parity (scalar + dense + mxu vs xla)", grad_parity)
     check("camera-crossing clipping semantics", crossing_scene)
     check("deferred shading end-to-end fit", deferred_fit)
+    check("closure-constant regression (fwd + grad)",
+          closure_constant_regression)
     if FAILURES:
         print("FAILED:", FAILURES, flush=True)
         return 1
