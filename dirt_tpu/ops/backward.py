@@ -296,10 +296,11 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
     """Batched gradient assembly ([B, ...] on every argument).
 
     `implementation`: "dense" (chunk-dense VPU-reduction kernel,
-    ops/grad_dense.py), "pallas" (face-major scalar-reduction kernel,
-    ops/grad_pallas.py), "mxu" (mask-matrix contraction kernel,
-    ops/grad_mxu.py), "xla" (segment_sum scatters, this module), or None for
-    automatic (see _auto_grad_kernel; overridable with
+    ops/grad_dense.py), "blocks" (block-binned dense kernel for large
+    meshes, ops/grad_blocks.py), "pallas" (face-major scalar-reduction
+    kernel, ops/grad_pallas.py), "mxu" (mask-matrix contraction kernel,
+    ops/grad_mxu.py), "xla" (segment_sum scatters, this module), or None
+    for automatic (see _auto_grad_kernel; overridable with
     DIRT_TPU_GRAD_BACKEND).
     """
     import os
@@ -329,6 +330,10 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
         from . import grad_mxu
         return grad_mxu.rasterise_grad_batch(
             vertices, faces, pixels, grad_pixels, aux)
+    if implementation == "blocks":
+        from . import grad_blocks
+        return grad_blocks.rasterise_grad_batch(
+            vertices, faces, pixels, grad_pixels, aux)
     return jax.vmap(rasterise_grad_single)(
         vertices, faces, pixels, grad_pixels, aux)
 
@@ -337,16 +342,22 @@ def _auto_grad_kernel(num_faces, image_hw):
     """Static kernel choice for the TPU gradient assembly.
 
     The chunk-dense kernel (ops/grad_dense.py) is the production choice:
-    measured on TPU v5e (round 2) it is the fastest of the four
-    implementations (8.1 ms vs 13.8 ms scalar at the 512-face bench scene)
-    AND the only Pallas one that matches the XLA ground truth on-device at
-    multi-chunk configurations -- the face-major scalar kernel miscompiles
-    through Mosaic once num_chunks > 1 (wrong values/NaN; fine in
-    interpreter mode), and the MXU contraction kernel is slower still
-    (Precision.HIGHEST 6-pass matmuls).  Both remain available via
-    DIRT_TPU_GRAD_BACKEND for comparison.
+    measured on TPU v5e (round 2) it is the fastest of the implementations
+    (8.1 ms vs 13.8 ms scalar at the 512-face bench scene) AND matches the
+    XLA ground truth on-device at multi-chunk configurations -- the
+    face-major scalar kernel miscompiles through Mosaic once num_chunks > 1
+    (wrong values/NaN; fine in interpreter mode), and the MXU contraction
+    kernel is slower still (Precision.HIGHEST 6-pass matmuls).  All remain
+    available via DIRT_TPU_GRAD_BACKEND for comparison.  Past the
+    block-binning threshold (shared with the forward, see
+    dispatch.default_backend) large meshes switch to the block-binned
+    kernel whose face-table memory is O(faces), not O(tiles x faces).
     """
-    del num_faces, image_hw
+    import os
+    del image_hw
+    threshold = int(os.environ.get("DIRT_TPU_BLOCKS_THRESHOLD", "4096"))
+    if num_faces > threshold:
+        return "blocks"
     return "dense"
 
 

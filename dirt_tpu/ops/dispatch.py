@@ -3,11 +3,16 @@
 Backends:
   * "dense":     dense single-pass Pallas TPU kernel (ops/forward_dense.py),
                  whole face chunks as vector planes; the production path.
+  * "blocks":    block-binned dense kernel (ops/forward_blocks.py): same
+                 kernel math, O(faces) shared face table + per-tile block-id
+                 lists via scalar prefetch; the large-mesh production path.
   * "pallas":    per-face tile-binned Pallas TPU kernel
                  (ops/forward_pallas.py); runs in interpreter mode
                  automatically off-TPU so tests exercise the kernel on CPU.
   * "reference": brute-force XLA scan (ops/reference.py), the oracle.
-  * None/"auto": dense on TPU, reference elsewhere (fast for CPU tests).
+  * None/"auto": on TPU, dense up to DIRT_TPU_BLOCKS_THRESHOLD faces
+                 (default 4096) then blocks; reference elsewhere (fast for
+                 CPU tests).
 
 Selection can be forced globally with the DIRT_TPU_BACKEND environment
 variable.  All backends implement the fragment semantics of ops/geometry.py:
@@ -77,14 +82,22 @@ def guard_constants(*arrays):
     return jax.tree.unflatten(treedef, list(guarded))
 
 
-def default_backend():
+def default_backend(num_faces=None):
     env = os.environ.get("DIRT_TPU_BACKEND", "auto")
     if env != "auto":
         return env
+    if not on_accelerator():
+        return "reference"
     # The dense single-pass kernel is the production TPU forward: 4.75 ms vs
     # 8.16 ms for the per-face kernel at the 16x256^2x512f bench scene
-    # (round 2, v5e), bit-exact winner maps on tie-free scenes.
-    return "dense" if on_accelerator() else "reference"
+    # (round 2, v5e), bit-exact winner maps on tie-free scenes.  Past the
+    # threshold, the exact per-tile binning's O(tiles x faces) gathered
+    # tables dominate memory and pack time, so large meshes switch to the
+    # block-binned kernel (O(faces) tables, per-tile block-id lists).
+    threshold = int(os.environ.get("DIRT_TPU_BLOCKS_THRESHOLD", "4096"))
+    if num_faces is not None and num_faces > threshold:
+        return "blocks"
+    return "dense"
 
 
 def forward_batch(background, vertices, vertex_colors, faces, backend=None):
@@ -112,7 +125,7 @@ def forward_batch(background, vertices, vertex_colors, faces, backend=None):
     background, vertices, vertex_colors, faces = guard_constants(
         background, vertices, vertex_colors, faces)
 
-    chosen = backend or default_backend()
+    chosen = backend or default_backend(num_faces=faces.shape[1])
     if chosen == "reference":
         return reference.rasterise_batch(
             background, vertices, vertex_colors, faces)
@@ -123,5 +136,9 @@ def forward_batch(background, vertices, vertex_colors, faces, backend=None):
     if chosen == "dense":
         from . import forward_dense
         return forward_dense.rasterise_batch(
+            background, vertices, vertex_colors, faces)
+    if chosen == "blocks":
+        from . import forward_blocks
+        return forward_blocks.rasterise_batch(
             background, vertices, vertex_colors, faces)
     raise ValueError(f"unknown backend {chosen!r}")

@@ -220,13 +220,26 @@ def rasterise_batch(background, vertices, vertex_colors, faces,
         interpret=interpret,
     )(counts, face_data)
 
+    return finalize(state, background, height, width, tiles_y, tiles_x,
+                    tile_h=TILE_H, tile_w=TILE_W)
+
+
+def finalize(state, background, height, width, tiles_y, tiles_x,
+             tile_h=None, tile_w=None):
+    """Un-tiles the packed per-pixel state and runs the XLA postprocess
+    (one division, composite, aux assembly -- elementwise at pixel count,
+    no gathers).  Shared by the dense and block-binned kernels."""
+    tile_h = TILE_H if tile_h is None else tile_h
+    tile_w = TILE_W if tile_w is None else tile_w
+    batch, _, _, channels = background.shape
+    ns = channels + 9
+    hp, wp = tiles_y * tile_h, tiles_x * tile_w
+
     # Un-tile: [B, T, NS, PIX] -> [B, H, W, NS] (one transposing copy).
-    state = state.reshape(batch, tiles_y, tiles_x, ns, TILE_H, TILE_W)
+    state = state.reshape(batch, tiles_y, tiles_x, ns, tile_h, tile_w)
     state = state.transpose(0, 1, 4, 2, 5, 3).reshape(batch, hp, wp, ns)
     state = state[:, :height, :width]
 
-    # XLA postprocess: one division, composite, aux assembly (elementwise at
-    # pixel count -- no gathers).
     num = state[..., :channels]
     e01 = state[..., channels:channels + 3]
     sw = state[..., channels + 3]

@@ -55,28 +55,11 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
-def _pack_faces(vertices, vertex_colors, faces, height, width, num_chunks,
-                tiles_y, tiles_x, chunk=None, tile_h=None, tile_w=None):
-    """Packs per-face raster constants + corner attributes for one image,
-    binned into exact per-tile face lists.
-
-    Every tile gets its own copy of the face table, stably ordered with the
-    faces whose bounding boxes hit the tile FIRST; the kernel then only
-    sweeps `ceil(count / CHUNK)` chunks per tile (the per-tile prefix), which
-    measured ~4x fewer face visits than chunk-level bbox skipping on the
-    benchmark scene.  Memory is O(tiles * faces); for very large meshes at
-    high tile counts raise DIRT_TPU_TILE_H/W.
-
-    `chunk`/`tile_h`/`tile_w` default to this module's configuration; the
-    dense kernel (ops/forward_dense.py) shares the packing with its own.
-
-    Returns:
-        face_data: [T, num_chunks, CHUNK, _BASE + 3 * C] float32.
-        counts: [T, 1, 1, 1] int32 -- hit count per tile.
-    """
-    CHUNK = chunk if chunk is not None else globals()["CHUNK"]
-    TILE_H = tile_h if tile_h is not None else globals()["TILE_H"]
-    TILE_W = tile_w if tile_w is not None else globals()["TILE_W"]
+def _face_table(vertices, vertex_colors, faces, height, width, pad_rows):
+    """Per-face raster constants + corner attributes for one image (layout
+    comment above): face_data [F + pad_rows, _BASE + 3C] float32, with the
+    conservative pixel bbox in columns 20-23 and padded rows given an empty
+    bbox so no binning scheme ever selects them."""
     num_faces = faces.shape[0]
     channels = vertex_colors.shape[-1]
     setup = geometry.face_setup(vertices, faces)
@@ -129,13 +112,43 @@ def _pack_faces(vertices, vertex_colors, faces, height, width, num_chunks,
     ], axis=1)
 
     width_d = _BASE + 3 * channels
-    # Pad so the binning covers every face AND the per-tile slice below has
-    # enough rows (num_chunks may reflect the tile face cap < num_faces).
-    pad_rows = max(num_chunks * CHUNK, num_faces) - num_faces
     pad_value = jnp.zeros((width_d,), jnp.float32).at[20].set(
         float(_BIG)).at[22].set(float(_BIG)).at[21].set(-1.0).at[23].set(-1.0)
     face_data = jnp.concatenate(
         [face_data, jnp.tile(pad_value[None], (pad_rows, 1))], axis=0)
+    return face_data
+
+
+def _pack_faces(vertices, vertex_colors, faces, height, width, num_chunks,
+                tiles_y, tiles_x, chunk=None, tile_h=None, tile_w=None):
+    """Packs the face table for one image, binned into exact per-tile face
+    lists.
+
+    Every tile gets its own copy of the face table, stably ordered with the
+    faces whose bounding boxes hit the tile FIRST; the kernel then only
+    sweeps `ceil(count / CHUNK)` chunks per tile (the per-tile prefix), which
+    measured ~4x fewer face visits than chunk-level bbox skipping on the
+    benchmark scene.  Memory is O(tiles * faces); for large meshes use the
+    block-binned packing (ops/forward_blocks.py), which shares _face_table.
+
+    `chunk`/`tile_h`/`tile_w` default to this module's configuration; the
+    dense kernel (ops/forward_dense.py) shares the packing with its own.
+
+    Returns:
+        face_data: [T, num_chunks, CHUNK, _BASE + 3 * C] float32.
+        counts: [T, 1, 1, 1] int32 -- hit count per tile.
+    """
+    CHUNK = chunk if chunk is not None else globals()["CHUNK"]
+    TILE_H = tile_h if tile_h is not None else globals()["TILE_H"]
+    TILE_W = tile_w if tile_w is not None else globals()["TILE_W"]
+    num_faces = faces.shape[0]
+    channels = vertex_colors.shape[-1]
+    width_d = _BASE + 3 * channels
+    # Pad so the binning covers every face AND the per-tile slice below has
+    # enough rows (num_chunks may reflect the tile face cap < num_faces).
+    pad_rows = max(num_chunks * CHUNK, num_faces) - num_faces
+    face_data = _face_table(vertices, vertex_colors, faces, height, width,
+                            pad_rows)
 
     # Exact per-tile binning: stable hits-first ordering per tile.  Padded
     # rows have empty bboxes and never hit.

@@ -42,21 +42,10 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
-def _pack_grad_faces(vertices, faces, height, width, num_chunks, tiles_y,
-                     tiles_x, chunk=None, tile_h=None, tile_w=None):
-    """Face table for the gradient kernel: exact per-tile hits-first lists
-    (see forward_pallas._pack_faces), with bboxes widened one pixel for
-    dilation support.
-
-    Returns (face_data [T, NC, CHUNK, _DF] f32, counts [T, 1, 1, 1, 1] i32,
-    sorted_orig [T, NC * CHUNK] i32 mapping kernel rows to original faces).
-
-    `chunk` / `tile_h` / `tile_w` default to this module's configuration;
-    ops/grad_dense.py reuses the packer with its own shapes.
-    """
-    chunk = CHUNK if chunk is None else chunk
-    tile_h = TILE_H if tile_h is None else tile_h
-    tile_w = TILE_W if tile_w is None else tile_w
+def _grad_face_table(vertices, faces, height, width, pad_rows):
+    """Per-face table for the gradient kernels: [F + pad_rows, _DF] float32
+    with the dilation-widened pixel bbox in columns 0-3 (padded rows get an
+    empty bbox so no binning scheme selects them)."""
     num_faces = faces.shape[0]
     setup = geometry.face_setup(vertices, faces)
 
@@ -93,11 +82,31 @@ def _pack_grad_faces(vertices, faces, height, width, num_chunks, tiles_y,
         corners[..., 0],    # x0 x1 x2
         corners[..., 1],    # y0 y1 y2
     ], axis=1)
-    pad_rows = max(num_chunks * chunk, num_faces) - num_faces
     pad_value = jnp.zeros((_DF,), jnp.float32).at[0].set(float(_BIG)).at[
         2].set(float(_BIG)).at[1].set(-1.0).at[3].set(-1.0).at[4].set(-1.0)
     face_data = jnp.concatenate(
         [face_data, jnp.tile(pad_value[None], (pad_rows, 1))], axis=0)
+    return face_data
+
+
+def _pack_grad_faces(vertices, faces, height, width, num_chunks, tiles_y,
+                     tiles_x, chunk=None, tile_h=None, tile_w=None):
+    """Face table for the gradient kernel: exact per-tile hits-first lists
+    (see forward_pallas._pack_faces), with bboxes widened one pixel for
+    dilation support.
+
+    Returns (face_data [T, NC, CHUNK, _DF] f32, counts [T, 1, 1, 1, 1] i32,
+    sorted_orig [T, NC * CHUNK] i32 mapping kernel rows to original faces).
+
+    `chunk` / `tile_h` / `tile_w` default to this module's configuration;
+    ops/grad_dense.py reuses the packer with its own shapes.
+    """
+    chunk = CHUNK if chunk is None else chunk
+    tile_h = TILE_H if tile_h is None else tile_h
+    tile_w = TILE_W if tile_w is None else tile_w
+    num_faces = faces.shape[0]
+    pad_rows = max(num_chunks * chunk, num_faces) - num_faces
+    face_data = _grad_face_table(vertices, faces, height, width, pad_rows)
     base_orig = jnp.concatenate(
         [jnp.arange(num_faces, dtype=jnp.int32),
          jnp.zeros((pad_rows,), jnp.int32)])

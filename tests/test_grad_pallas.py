@@ -111,3 +111,27 @@ def test_deferred_path_with_pallas_grads(monkeypatch):
     monkeypatch.setenv("DIRT_TPU_GRAD_BACKEND", "xla")
     g_xla = np.asarray(jax.grad(loss)(attrs))
     np.testing.assert_allclose(g_pallas, g_xla, rtol=1e-4, atol=1e-5)
+
+
+def test_blocks_grads_match_xla(monkeypatch):
+    # Block-binned gradient kernel (ops/grad_blocks.py) vs the XLA path,
+    # with CHUNK shrunk so the scene spans several face blocks.
+    from dirt_tpu.ops import grad_blocks
+    monkeypatch.setattr(grad_blocks, "CHUNK", 16)
+    rng = np.random.RandomState(13)
+    v = rng.randn(2, 60, 4).astype(np.float32)
+    v[..., 3] = np.abs(v[..., 3]) + 0.5
+    f = rng.randint(0, 60, size=(2, 45, 3)).astype(np.int32)
+    c = rng.uniform(size=(2, 60, 3)).astype(np.float32)
+    bg = rng.uniform(size=(2, 64, 128, 3)).astype(np.float32)
+    gp = rng.randn(2, 64, 128, 3).astype(np.float32)
+    px, aux = dispatch.forward_batch(bg, v, c, f, backend="reference")
+    g_xla = backward.rasterise_grad_batch(v, f, px, gp, aux,
+                                          implementation="xla")
+    g_blk = backward.rasterise_grad_batch(v, f, px, gp, aux,
+                                          implementation="blocks")
+    for name in ("grad_vertices", "grad_vertex_colors", "grad_background"):
+        a = np.asarray(getattr(g_xla, name))
+        b = np.asarray(getattr(g_blk, name))
+        scale = max(np.abs(a).max(), 1.0)
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-5)

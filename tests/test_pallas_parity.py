@@ -101,3 +101,44 @@ def test_many_faces_multiple_chunks(monkeypatch):
     c = rng.uniform(size=(1, n * 3, 3)).astype(np.float32)
     bg = np.zeros((1, 64, 128, 3), np.float32)
     _compare(bg, v, c, f)
+
+
+def test_blocks_backend_parity(monkeypatch):
+    # The block-binned kernel (ops/forward_blocks.py) shares the dense
+    # kernel math; shrink its CHUNK so a modest soup spans several blocks
+    # and the scalar-prefetch block indexing (per-tile hit lists, repeated
+    # tail ids) is exercised hermetically on CPU.
+    from dirt_tpu.ops import forward_blocks
+    monkeypatch.setattr(forward_blocks, "CHUNK", 16)
+    rng = np.random.RandomState(9)
+    v = rng.randn(2, 70, 4).astype(np.float32)
+    v[..., 3] = np.abs(v[..., 3]) + 0.5
+    f = rng.randint(0, 70, size=(2, 50, 3)).astype(np.int32)
+    c = rng.uniform(size=(2, 70, 2)).astype(np.float32)
+    bg = rng.uniform(size=(2, 48, 160, 2)).astype(np.float32)
+    blocks, aux_b = dispatch.forward_batch(bg, v, c, f, backend="blocks")
+    ref, aux_r = dispatch.forward_batch(bg, v, c, f, backend="reference")
+    np.testing.assert_array_equal(np.asarray(aux_b.face_index),
+                                  np.asarray(aux_r.face_index))
+    np.testing.assert_array_equal(np.asarray(aux_b.indices),
+                                  np.asarray(aux_r.indices))
+    np.testing.assert_allclose(np.asarray(blocks), np.asarray(ref),
+                               atol=1e-4, rtol=1e-5)
+
+
+def test_blocks_backend_square_exact(monkeypatch):
+    # Constant-attribute exactness through the block-binned path.
+    from dirt_tpu.ops import forward_blocks
+    monkeypatch.setattr(forward_blocks, "CHUNK", 16)
+    size, lo, hi = 64, 16., 48.
+    x0, x1 = lo * 2. / size - 1., hi * 2. / size - 1.
+    v = np.array([[x0, x0, 0, 1], [x1, x0, 0, 1],
+                  [x1, x1, 0, 1], [x0, x1, 0, 1]], np.float32)
+    f = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    c = np.ones((4, 1), np.float32)
+    bg = np.zeros((size, size, 1), np.float32)
+    px = dirt_tpu.rasterise(bg, v, c, f, backend="blocks")
+    cols = np.arange(size) + 0.5
+    inside = (cols >= lo) & (cols < hi)
+    want = (inside[None, :] & inside[::-1, None]).astype(np.float32)[..., None]
+    np.testing.assert_array_equal(np.asarray(px), want)
