@@ -1,28 +1,38 @@
-"""Block-binned dense Pallas TPU rasterisation kernel (large-mesh path).
+"""Block-binned (CSR) dense Pallas TPU rasterisation kernel: large meshes.
 
 Same kernel math as ops/forward_dense.py (dense [CHUNK, PIX] vector planes,
-lexicographic (depth, original index) merge), but the face table is stored
-ONCE per image as [num_blocks, CHUNK, D] -- faces grouped into fixed blocks
-of CHUNK consecutive draw-order faces -- and each tile carries only a small
-list of the block INDICES whose member bboxes overlap it.  The kernel uses
-scalar prefetching (pltpu.PrefetchScalarGridSpec) so the face BlockSpec's
-index_map reads the per-tile block list: grid step (b, t, c) DMAs block
-`block_ids[b, t, c]` of the shared table.
+lexicographic (depth, original index) merge), with a different work
+schedule built for meshes whose exact per-tile face tables no longer fit:
 
-This is the CSR-style two-pass binning the exact per-tile packing
-(forward_pallas._pack_faces) cannot scale to: that path materialises
-O(tiles x faces x row) gathered tables (2.4 GB at 4 x 512^2 x 65,536 faces
--- past HBM), while this one is O(faces x row) + O(tiles x num_blocks)
-int32 lists.  The trade is block-granularity sweeping: a tile processes a
-whole 64-face block when ANY member face's bbox overlaps it.  For meshes
-with draw-order spatial coherence (any sane mesh export; the reference's
-GL pipeline benefits from the same coherence in its hardware binning) the
-extra face-visits are small; for a randomly-permuted face order every
-block hits every tile and the sweep degrades towards brute force -- the
-per-face-exact packing remains available as backend "dense".
+  * Faces are grouped into BLOCKS of CHUNK consecutive draw-order faces and
+    the face table is stored ONCE per image as [num_blocks, CHUNK, D] --
+    O(faces) memory, vs the O(tiles x faces) gathered per-tile copies of
+    forward_pallas._pack_faces (2.4 GB at 4 x 512^2 x 65,536 faces).
+  * An XLA pre-pass builds a CSR-style SLOT LIST: one grid step per actual
+    (tile, block) bbox overlap, grouped by tile, plus one mandatory slot
+    per tile so every state block gets initialised.  Three flat int32
+    arrays (slot -> batch*tile, slot -> block or -1 for no-op slots,
+    slot -> DMA target) ride in SMEM via pltpu.PrefetchScalarGridSpec and
+    drive the face BlockSpec's index_map.
+    The grid is 1-D over slots: no face-cap truncation, no idle sweep
+    steps, and SMEM scales with the hit count, not tiles x blocks.
+    (Earlier shapes of this kernel hit both walls: per-tile dense id lists
+    pad their trailing dim to 128 lanes and overflow the ~1 MB SMEM, and
+    growing CHUNK to compensate overflows scoped VMEM at 26 MB -- the
+    [CHUNK, PIX] planes scale with the block size.)
+  * Filler slots repeat the previous slot's tile and carry block -1: same
+    output block (resident, no writeback), no face DMA, no compute.
 
-Inactive grid steps (c >= n_blocks[tile]) repeat the previous block index
-so consecutive steps hit the Pallas block-index cache and issue no DMA.
+The trade is block-granularity sweeping: a tile processes a whole
+CHUNK-face block when ANY member face's bbox overlaps it.  For meshes with
+draw-order spatial coherence (any sane mesh export) the extra face-visits
+are small; a randomly-permuted face order degrades towards brute force --
+the per-face-exact packing remains available as backend "dense".
+
+The slot list length is static: min(tiles x blocks, max(512, 4 x blocks +
+tiles)) per image, overridable with DIRT_TPU_SLOTS_PER_IMAGE.  A scene
+needing more slots (pathologically incoherent draw order) drops the
+later tiles' overflow hits; raise the env var for exactness there.
 
 Replaces the role of GL triangle setup + raster binning at mesh scale
 (csrc/rasterise_egl.cpp:362-380; the reference's envelope is 2^24 vertices,
@@ -49,29 +59,66 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
-def tile_block_cap(num_blocks):
-    """Max face-block slots swept per tile (bounds grid steps, not memory:
-    the block lists are int32).  0 or negative = uncapped (exact)."""
-    cap = int(_os.environ.get("DIRT_TPU_TILE_BLOCK_CAP", "0"))
-    if cap <= 0:
-        return num_blocks
-    return min(num_blocks, cap)
+def slots_per_image(num_runs, num_items):
+    """Static slot-list length per image for a CSR sweep of `num_runs`
+    runs (one mandatory slot each) over `num_items` candidates: one slot
+    per run plus ~4x max(runs, items) overlap slack -- comfortably above
+    the actual hit count for draw-order-coherent meshes."""
+    env = int(_os.environ.get("DIRT_TPU_SLOTS_PER_IMAGE", "0"))
+    if env > 0:
+        return min(num_runs * num_items, env)
+    return min(num_runs * num_items,
+               max(512, num_runs + 4 * max(num_runs, num_items)))
 
 
-def block_bins(face_data, bbox_cols, num_blocks, num_chunks, chunk,
-               tiles_y, tiles_x, tile_h, tile_w):
-    """Per-tile hit lists at face-BLOCK granularity for one image.
+def build_slots(hit, num_slots):
+    """CSR slot list for one image from the [T, NB] bool hit matrix.
 
-    face_data: [num_blocks * chunk, D] with pixel bboxes (r0, r1, c0, c1) in
-    columns `bbox_cols` (padded rows have empty bboxes).  A block hits a
-    tile iff any member face's bbox overlaps it.
-
-    Returns:
-        block_ids: [T, num_chunks] int32, hitting block indices first (draw
-            order), then the last hitting id repeated (so consecutive
-            inactive grid steps re-use the resident block: no DMA).
-        n_blocks: [T] int32, clamped to num_chunks.
+    Returns (slot_tile [S], slot_block [S], slot_dma [S]) int32.
+    Consecutive slots with the same tile form that tile's run: all hitting
+    blocks in draw order.  A tile with zero hits still gets one slot with
+    block -1 (so the kernel initialises its state) and filler tail slots
+    repeat the last tile with block -1; slot_dma forward-fills block ids so
+    no-op slots keep the resident face block.
     """
+    num_tiles, num_blocks = hit.shape
+    order = jnp.argsort(jnp.logical_not(hit), axis=1,
+                        stable=True).astype(jnp.int32)     # [T, NB]
+    n = jnp.sum(hit, axis=1).astype(jnp.int32)             # [T]
+    m = jnp.maximum(n, 1)                                  # >=1 slot per tile
+    start = jnp.cumsum(m) - m                              # exclusive prefix
+
+    j = jnp.arange(num_blocks, dtype=jnp.int32)[None, :]   # [1, NB]
+    valid = j < m[:, None]                                 # [T, NB]
+    pos = jnp.where(valid, start[:, None] + j, num_slots)  # OOB -> dropped
+    tile_of = jnp.broadcast_to(
+        jnp.arange(num_tiles, dtype=jnp.int32)[:, None], pos.shape)
+    block_of = jnp.where(j < n[:, None], order, -1)
+
+    slot_tile = jnp.zeros((num_slots,), jnp.int32).at[pos.reshape(-1)].set(
+        tile_of.reshape(-1), mode="drop")
+    slot_block = jnp.full((num_slots,), -1, jnp.int32).at[
+        pos.reshape(-1)].set(block_of.reshape(-1), mode="drop")
+    # Filler tail: repeat the last real tile so the resident output block
+    # never switches on no-op steps.
+    total = jnp.minimum(jnp.sum(m), num_slots)
+    last_tile = jnp.where(total > 0, slot_tile[jnp.maximum(total - 1, 0)], 0)
+    tail = jnp.arange(num_slots, dtype=jnp.int32) >= total
+    slot_tile = jnp.where(tail, last_tile, slot_tile)
+    slot_block = jnp.where(tail, -1, slot_block)
+    # DMA target per slot: inactive slots (block -1) repeat the previous
+    # active block so the resident face block never switches without need.
+    idx = jnp.arange(num_slots, dtype=jnp.int32)
+    last_active = jax.lax.cummax(jnp.where(slot_block >= 0, idx, -1))
+    slot_dma = jnp.where(
+        last_active >= 0,
+        slot_block[jnp.maximum(last_active, 0)], 0)
+    return slot_tile, slot_block, slot_dma
+
+
+def hit_matrix(face_data, bbox_cols, num_blocks, chunk,
+               tiles_y, tiles_x, tile_h, tile_w):
+    """[T, NB] bool: block hits tile iff any member face's bbox overlaps."""
     r0c, r1c, c0c, c1c = bbox_cols
     tile_r0 = jnp.arange(tiles_y, dtype=jnp.int32) * tile_h
     tile_c0 = jnp.arange(tiles_x, dtype=jnp.int32) * tile_w
@@ -81,54 +128,44 @@ def block_bins(face_data, bbox_cols, num_blocks, num_chunks, chunk,
                 & (face_data[None, :, c1c] >= tile_c0[:, None]))
     overlap = (hit_rows[:, None, :] & hit_cols[None, :, :]).reshape(
         tiles_y * tiles_x, num_blocks, chunk)
-    hit_blocks = jnp.any(overlap, axis=-1)                     # [T, NB]
-    order = jnp.argsort(jnp.logical_not(hit_blocks), axis=1,
-                        stable=True).astype(jnp.int32)         # [T, NB]
-    n_blocks = jnp.sum(hit_blocks, axis=1).astype(jnp.int32)   # [T]
-    n_blocks = jnp.minimum(n_blocks, num_chunks)
-
-    order = order[:, :num_chunks]
-    # Repeat the last hitting id over the inactive tail (id 0 when none hit).
-    last = jnp.take_along_axis(
-        order, jnp.maximum(n_blocks - 1, 0)[:, None], axis=1)  # [T, 1]
-    active = (jnp.arange(num_chunks, dtype=jnp.int32)[None, :]
-              < n_blocks[:, None])
-    block_ids = jnp.where(active, order, last)
-    return block_ids, n_blocks
+    return jnp.any(overlap, axis=-1)
 
 
-def _raster_kernel(nblk_ref, blkids_ref, face_ref, state_ref,
-                   *, height, width, channels, tiles_x):
-    del blkids_ref  # consumed by the face BlockSpec's index_map
+def _raster_kernel(slot_tile_ref, slot_block_ref, slot_dma_ref,
+                   face_ref, state_ref,
+                   *, height, width, channels, tiles_x, num_tiles):
+    del slot_dma_ref  # consumed by the face BlockSpec's index_map
     pix = TILE_H * TILE_W
     ns = channels + 9
-    batch_idx = pl.program_id(0)
-    tile = pl.program_id(1)
-    chunk_idx = pl.program_id(2)
+    s = pl.program_id(0)
+    bt = slot_tile_ref[s]
+    tile = jax.lax.rem(bt, num_tiles)
     tile_row = (tile // tiles_x) * TILE_H
     tile_col = jax.lax.rem(tile, tiles_x) * TILE_W
+    prev_bt = slot_tile_ref[jnp.maximum(s - 1, 0)]
+    first = jnp.logical_or(s == 0, bt != prev_bt)
 
-    @pl.when(chunk_idx == 0)
+    @pl.when(first)
     def _init():
+        # glClearDepth(1.0) equivalent; orig -1 marks background.
         zeros = jnp.zeros((channels + 7, pix), jnp.float32)
         depth = jnp.full((1, pix), 1.0, jnp.float32)
         orig = jnp.full((1, pix), -1.0, jnp.float32)
-        state_ref[0, 0] = jnp.concatenate([zeros, depth, orig], axis=0)
+        state_ref[0] = jnp.concatenate([zeros, depth, orig], axis=0)
 
-    chunk_active = chunk_idx < nblk_ref[batch_idx, tile]
-
-    @pl.when(chunk_active)
+    @pl.when(slot_block_ref[s] >= 0)
     def _process():
         p = jax.lax.broadcasted_iota(jnp.int32, (1, pix), 1)
         rows = p // TILE_W
         cols = p - rows * TILE_W
+        # Pixel-centre NDC, identical expression to geometry.pixel_centre_ndc.
         xg = (((tile_col + cols).astype(jnp.float32) + 0.5)
               * (2.0 / width) - 1.0)
         yg = (1.0 - ((tile_row + rows).astype(jnp.float32) + 0.5)
               * (2.0 / height))
 
         def col(i):
-            return face_ref[0, 0, :, i:i + 1]               # [CHUNK, 1]
+            return face_ref[0, :, i:i + 1]                  # [CHUNK, 1]
 
         E0 = col(0) * xg + col(1) * yg + col(2)
         E1 = col(3) * xg + col(4) * yg + col(5)
@@ -148,6 +185,8 @@ def _raster_kernel(nblk_ref, blkids_ref, face_ref, state_ref,
         cov_p = in_p & (s_w > 0) & (s_z >= -s_w) & (s_z <= s_w)
         cov_n = in_n & (s_w < 0) & (s_z <= -s_w) & (s_z >= s_w)
         covered = (cov_p | cov_n) & (col(18) != 0.0)
+        # Unmasked division as everywhere else (see geometry
+        # fragment_cover_depth): the select discards inf/nan.
         depth = jnp.where(covered, s_z / s_w, jnp.inf)
 
         orig_col = col(19)
@@ -172,14 +211,14 @@ def _raster_kernel(nblk_ref, blkids_ref, face_ref, state_ref,
         cand_rows += [best_depth, best_orig]
         cand = jnp.concatenate(cand_rows, axis=0)
 
-        prev = state_ref[0, 0]
+        prev = state_ref[0]
         chunk_cov = best_depth < jnp.inf
         prev_depth = prev[ns - 2:ns - 1, :]
         prev_orig = prev[ns - 1:ns, :]
         better = chunk_cov & (
             (best_depth < prev_depth)
             | ((best_depth == prev_depth) & (best_orig < prev_orig)))
-        state_ref[0, 0] = jnp.where(better, cand, prev)
+        state_ref[0] = jnp.where(better, cand, prev)
 
 
 def rasterise_batch(background, vertices, vertex_colors, faces,
@@ -211,10 +250,10 @@ def rasterise_batch(background, vertices, vertex_colors, faces,
             background)
 
     num_blocks = _cdiv(num_faces, CHUNK)
-    num_chunks = max(1, tile_block_cap(num_blocks))
     tiles_y = _cdiv(height, TILE_H)
     tiles_x = _cdiv(width, TILE_W)
     num_tiles = tiles_y * tiles_x
+    num_slots = slots_per_image(num_tiles, num_blocks)
     width_d = _BASE + 3 * channels
     pix = TILE_H * TILE_W
     ns = channels + 9
@@ -222,41 +261,50 @@ def rasterise_batch(background, vertices, vertex_colors, faces,
     def pack_one(v, c, f):
         face_data = forward_pallas._face_table(
             v, c, f, height, width, num_blocks * CHUNK - num_faces)
-        block_ids, n_blocks = block_bins(
-            face_data, (20, 21, 22, 23), num_blocks, num_chunks, CHUNK,
-            tiles_y, tiles_x, TILE_H, TILE_W)
+        hit = hit_matrix(face_data, (20, 21, 22, 23), num_blocks, CHUNK,
+                         tiles_y, tiles_x, TILE_H, TILE_W)
+        slot_tile, slot_block, slot_dma = build_slots(hit, num_slots)
         return face_data.reshape(num_blocks, CHUNK, width_d), \
-            block_ids, n_blocks
+            slot_tile, slot_block, slot_dma
 
-    face_table, block_ids, n_blocks = jax.vmap(pack_one)(
+    face_table, slot_tile, slot_block, slot_dma = jax.vmap(pack_one)(
         vertices, vertex_colors, faces)
+    # Flat 1-D prefetch arrays (a >1-D trailing dim pads to 128 SMEM lanes);
+    # fold the batch index into the tile/block ids so the batch is one run.
+    boff = jnp.arange(batch, dtype=jnp.int32)[:, None]
+    slot_tile = (slot_tile + num_tiles * boff).reshape(-1)     # [B*S]
+    slot_block = slot_block.reshape(-1)                        # active flag
+    slot_dma = (slot_dma + num_blocks * boff).reshape(-1)      # DMA target
+    face_table = face_table.reshape(batch * num_blocks, CHUNK, width_d)
 
     kernel = functools.partial(
         _raster_kernel, height=height, width=width, channels=channels,
-        tiles_x=tiles_x)
+        tiles_x=tiles_x, num_tiles=num_tiles)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,      # n_blocks [B, T], block_ids [B, T, NCK]
-        grid=(batch, num_tiles, num_chunks),
+        num_scalar_prefetch=3,      # slot_tile, slot_block, slot_dma [B*S]
+        grid=(batch * num_slots,),
         in_specs=[
-            pl.BlockSpec((1, 1, CHUNK, width_d),
-                         lambda b, t, c, nblk, ids: (b, ids[b, t, c], 0, 0),
+            pl.BlockSpec((1, CHUNK, width_d),
+                         lambda s, tiles, blocks, dma: (dma[s], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, ns, pix),
-                               lambda b, t, c, nblk, ids: (b, t, 0, 0),
+        out_specs=pl.BlockSpec((1, ns, pix),
+                               lambda s, tiles, blocks, dma:
+                               (tiles[s], 0, 0),
                                memory_space=pltpu.VMEM),
     )
     state = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (batch, num_tiles, ns, pix), jnp.float32),
+            (batch * num_tiles, ns, pix), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(n_blocks, block_ids, face_table)
+    )(slot_tile, slot_block, slot_dma, face_table)
 
+    state = state.reshape(batch, num_tiles, ns, pix)
     return forward_dense.finalize(state, background, height, width,
                                   tiles_y, tiles_x,
                                   tile_h=TILE_H, tile_w=TILE_W)

@@ -191,6 +191,36 @@ def closure_constant_regression():
     assert (np.asarray(g_c) == np.asarray(g_a)).all(), "grad closure"
 
 
+def blocks_backend_parity():
+    # The block-binned kernels (forward_blocks / grad_blocks) vs the
+    # per-face-exact paths, at a face count that spans several blocks.
+    rng = np.random.RandomState(17)
+    n = 400
+    v = rng.randn(2, n, 4).astype(np.float32)
+    v[..., 3] = np.abs(v[..., 3]) + 0.5
+    f = rng.randint(0, n, size=(2, 300, 3)).astype(np.int32)
+    c = rng.uniform(size=(2, n, 3)).astype(np.float32)
+    bg = rng.uniform(size=(2, 64, 128, 3)).astype(np.float32)
+    gp = rng.randn(2, 64, 128, 3).astype(np.float32)
+    px_b, aux_b = jax.jit(lambda b, vv, cc, ff: dispatch.forward_batch(
+        b, vv, cc, ff, "blocks"))(bg, v, c, f)
+    px_d, aux_d = jax.jit(lambda b, vv, cc, ff: dispatch.forward_batch(
+        b, vv, cc, ff, "dense"))(bg, v, c, f)
+    assert (np.asarray(aux_b.face_index)
+            == np.asarray(aux_d.face_index)).all(), "blocks visibility"
+    np.testing.assert_array_equal(np.asarray(px_b), np.asarray(px_d))
+    g_d = jax.jit(lambda vv, ff, pp, gg: backward.rasterise_grad_batch(
+        vv, ff, pp, gg, aux_b, implementation="dense"))(v, f, px_b, gp)
+    g_b = jax.jit(lambda vv, ff, pp, gg: backward.rasterise_grad_batch(
+        vv, ff, pp, gg, aux_b, implementation="blocks"))(v, f, px_b, gp)
+    for name in ("grad_vertices", "grad_vertex_colors", "grad_background"):
+        a = np.asarray(getattr(g_d, name))
+        b = np.asarray(getattr(g_b, name))
+        scale = max(np.abs(a).max(), 1.0)
+        err = np.abs(a / scale - b / scale).max()
+        assert err < 1e-5, f"blocks {name}: rel err {err:.2e}"
+
+
 def main():
     print("devices:", jax.devices(), flush=True)
     check("square exactness (pallas + dense)", square_test)
@@ -200,6 +230,7 @@ def main():
     check("deferred shading end-to-end fit", deferred_fit)
     check("closure-constant regression (fwd + grad)",
           closure_constant_regression)
+    check("block-binned kernels parity (fwd + grad)", blocks_backend_parity)
     if FAILURES:
         print("FAILED:", FAILURES, flush=True)
         return 1
