@@ -228,17 +228,25 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
 
     num_chunks = max(1, _cdiv(
         forward_pallas.tile_face_cap(num_faces), CHUNK))
-    if not interpret and num_chunks > 1:
-        # Mosaic miscompiles this kernel's multi-chunk configuration on real
-        # TPUs (wrong values / NaN; verified against the XLA path on v5e with
-        # constant-folding guards in place, round 2).  Interpreter mode and
-        # single-chunk compiled mode are correct.  The chunk-dense kernel
-        # (ops/grad_dense.py) is faster anyway and correct at every
-        # configuration -- use it (DIRT_TPU_GRAD_BACKEND=dense or auto).
+    if not interpret and not _os.environ.get("DIRT_TPU_ALLOW_SCALAR_GRAD"):
+        # Mosaic miscompiles this kernel on real TPUs: multi-chunk
+        # configurations produce wrong values / NaN (verified against the
+        # XLA path on v5e with constant-folding guards in place, round 2),
+        # and late in round 2 even a single-chunk multi-tile configuration
+        # (40 faces, 64x128) returned wrong vertex/colour gradients -- with
+        # DIFFERENT wrong values depending on whether the aux buffers were
+        # jit arguments or closure constants, the signature of a layout-
+        # sensitive miscompile, not a semantics bug (the same scene is
+        # exact in interpreter mode, and the dense/blocks kernels are exact
+        # compiled).  The kernel therefore refuses to run compiled; it
+        # remains the scalar-reduction reference implementation for
+        # interpreter-mode tests.  Set DIRT_TPU_ALLOW_SCALAR_GRAD=1 to run
+        # it compiled anyway (for miscompile triage only).
         raise NotImplementedError(
-            "grad_pallas compiled with num_chunks > 1 miscompiles on TPU; "
-            "use the dense gradient kernel (DIRT_TPU_GRAD_BACKEND=dense) or "
-            "raise DIRT_TPU_GRAD_CHUNK above the face count.")
+            "grad_pallas miscompiles on real TPUs (wrong gradients; see "
+            "module notes); use the dense gradient kernel "
+            "(DIRT_TPU_GRAD_BACKEND=dense or auto), or set "
+            "DIRT_TPU_ALLOW_SCALAR_GRAD=1 to run it anyway.")
     tiles_y = _cdiv(height, TILE_H)
     tiles_x = _cdiv(width, TILE_W)
     hp, wp = tiles_y * TILE_H, tiles_x * TILE_W
