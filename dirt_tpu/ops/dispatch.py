@@ -76,7 +76,13 @@ def guard_constants(*arrays):
     corrupts).
     """
     leaves, treedef = jax.tree.flatten(tuple(arrays))
-    if not any(isinstance(leaf, jax.core.Tracer) for leaf in leaves):
+    tracer = [isinstance(leaf, jax.core.Tracer) for leaf in leaves]
+    if not any(tracer):
+        return arrays
+    if all(tracer):
+        # Nothing to protect: tracers cannot constant-fold, and skipping
+        # the barrier keeps XLA free to hoist loop-invariant scene setup
+        # out of fit loops (args-passed scene data is the fast path).
         return arrays
     guarded = jax.lax.optimization_barrier(tuple(leaves))
     return jax.tree.unflatten(treedef, list(guarded))
