@@ -8,7 +8,13 @@ from dirt_tpu.utils import meshes
 
 
 def save_ppm(path, pixels):
-    """Writes [H, W, 3] float pixels in [0, 1] as a binary PPM image."""
+    """Writes [H, W, 3] float pixels in [0, 1] as a binary PPM image.
+
+    Relative paths resolve next to the samples, not the caller's cwd, so
+    `python samples/foo.py` refreshes the checked-in images in place."""
+    import os
+    if not os.path.isabs(path):
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)), path)
     pixels = np.asarray(pixels)
     data = (np.clip(pixels, 0., 1.) * 255).astype(np.uint8)
     h, w = data.shape[:2]

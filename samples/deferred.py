@@ -6,6 +6,14 @@ demonstrates that gradients flow through the shader by recovering the light
 direction from the shaded image.
 """
 
+import os
+import sys
+
+# Runnable as `python samples/deferred.py` from anywhere: put the repo
+# root (dirt_tpu) on sys.path next to this script's directory.
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 

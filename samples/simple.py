@@ -7,6 +7,14 @@ cube's rotation from the image -- the use case the differentiable gradients
 exist for.
 """
 
+import os
+import sys
+
+# Runnable as `python samples/simple.py` from anywhere: put the repo
+# root (dirt_tpu) on sys.path next to this script's directory.
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 

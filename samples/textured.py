@@ -8,6 +8,14 @@ gradients.
 """
 
 import numpy as np
+import os
+import sys
+
+# Runnable as `python samples/textured.py` from anywhere: put the repo
+# root (dirt_tpu) on sys.path next to this script's directory.
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 
