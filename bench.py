@@ -76,16 +76,24 @@ def main():
         import numpy as _np
         from dirt_tpu.ops import dispatch as _dispatch
         from dirt_tpu.utils import oracle as _oracle
-        pixels, aux = _dispatch.forward_batch(
-            background[:1], clip[:1], colors[:1], faces[:1])
         want_pixels, want_index = _oracle.rasterise(
             _np.asarray(background[0]), _np.asarray(clip[0]),
             _np.asarray(colors[0]), _np.asarray(faces[0]))
-        assert (_np.asarray(aux.face_index[0]) == want_index).all(), \
-            "visibility parity failure vs native oracle"
-        _np.testing.assert_allclose(
-            _np.asarray(pixels[0]), want_pixels, atol=1e-4, rtol=1e-5)
-        print("# parity vs native oracle: OK", flush=True)
+        # Gate BOTH execution paths: eager (op-by-op) and compiled (the
+        # shape the timed loop runs).  Compiled-graph corruption through
+        # the remote-compile path has been observed with exact visibility
+        # and wrong pixels, which an eager-only gate cannot catch.
+        for tag, fwd in (
+                ("eager", _dispatch.forward_batch),
+                ("jitted", jax.jit(_dispatch.forward_batch))):
+            pixels, aux = fwd(
+                background[:1], clip[:1], colors[:1], faces[:1])
+            assert (_np.asarray(aux.face_index[0]) == want_index).all(), \
+                f"visibility parity failure vs native oracle ({tag})"
+            _np.testing.assert_allclose(
+                _np.asarray(pixels[0]), want_pixels, atol=1e-4, rtol=1e-5,
+                err_msg=f"pixel parity failure vs native oracle ({tag})")
+        print("# parity vs native oracle: OK (eager + jitted)", flush=True)
 
     def loss(clip_v, colors_v, background_v, faces_v, weights_v):
         pixels = dirt_tpu.rasterise_batch(

@@ -76,14 +76,16 @@ def guard_constants(*arrays):
     corrupts).
     """
     leaves, treedef = jax.tree.flatten(tuple(arrays))
-    tracer = [isinstance(leaf, jax.core.Tracer) for leaf in leaves]
-    if not any(tracer):
+    if not any(isinstance(leaf, jax.core.Tracer) for leaf in leaves):
         return arrays
-    if all(tracer):
-        # Nothing to protect: tracers cannot constant-fold, and skipping
-        # the barrier keeps XLA free to hoist loop-invariant scene setup
-        # out of fit loops (args-passed scene data is the fast path).
-        return arrays
+    # NO all-tracer fast path: an attempt to skip the barrier when every
+    # leaf is already a tracer (it "cannot fold") regressed device parity
+    # -- the recorded sweep produced exact winner maps with pixels wrong by
+    # ~0.99 at every config, the corner-attribute corruption signature,
+    # even though the dispatch-level guard had already barriered the same
+    # values.  The barrier at EVERY op boundary is load-bearing against the
+    # remote-compile path's folding behaviour, redundant-looking or not;
+    # it also measured free (1242.7 vs 1242.1 f/s with/without).
     guarded = jax.lax.optimization_barrier(tuple(leaves))
     return jax.tree.unflatten(treedef, list(guarded))
 
