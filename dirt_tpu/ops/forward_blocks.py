@@ -68,7 +68,7 @@ def slots_per_image(num_runs, num_items):
     if env > 0:
         return min(num_runs * num_items, env)
     return min(num_runs * num_items,
-               max(512, num_runs + 4 * max(num_runs, num_items)))
+               max(512, num_runs + 8 * max(num_runs, num_items)))
 
 
 def build_slots(hit, num_slots):
@@ -132,9 +132,10 @@ def hit_matrix(face_data, bbox_cols, num_blocks, chunk,
 
 
 def _raster_kernel(slot_tile_ref, slot_block_ref, slot_dma_ref,
-                   face_ref, state_ref,
+                   face_ref, init_ref, state_ref,
                    *, height, width, channels, tiles_x, num_tiles):
     del slot_dma_ref  # consumed by the face BlockSpec's index_map
+    del init_ref      # aliased to state_ref: overflow-safe background init
     pix = TILE_H * TILE_W
     ns = channels + 9
     s = pl.program_id(0)
@@ -281,12 +282,27 @@ def rasterise_batch(background, vertices, vertex_colors, faces,
         _raster_kernel, height=height, width=width, channels=channels,
         tiles_x=tiles_x, num_tiles=num_tiles)
 
+    # Aliased init buffer: if the static slot budget ever truncates a tile's
+    # mandatory slot (pathologically incoherent draw order past the 8x
+    # slack), its state block is never visited -- with the background-init
+    # rows aliased in, such a tile degrades to background instead of
+    # decoding uninitialised memory.
+    init_row = jnp.concatenate([
+        jnp.zeros((channels + 7,), jnp.float32),
+        jnp.asarray([1.0, -1.0], jnp.float32)])
+    state_init = jnp.broadcast_to(
+        init_row[None, :, None], (batch * num_tiles, ns, pix))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,      # slot_tile, slot_block, slot_dma [B*S]
         grid=(batch * num_slots,),
         in_specs=[
             pl.BlockSpec((1, CHUNK, width_d),
                          lambda s, tiles, blocks, dma: (dma[s], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ns, pix),
+                         lambda s, tiles, blocks, dma:
+                         (tiles[s], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, ns, pix),
@@ -299,10 +315,13 @@ def rasterise_batch(background, vertices, vertex_colors, faces,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (batch * num_tiles, ns, pix), jnp.float32),
+        # Input 4 = state_init (after 3 scalar-prefetch args and the face
+        # table); aliasing donates it as the output buffer.
+        input_output_aliases={4: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(slot_tile, slot_block, slot_dma, face_table)
+    )(slot_tile, slot_block, slot_dma, face_table, state_init)
 
     state = state.reshape(batch, num_tiles, ns, pix)
     return forward_dense.finalize(state, background, height, width,

@@ -47,9 +47,10 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
-def _grad_kernel(run_ref, item_ref, dma_ref, face_ref, planes_ref, out_ref,
-                 *, channels):
-    del dma_ref  # consumed by the planes BlockSpec's index_map
+def _grad_kernel(run_ref, item_ref, dma_ref, face_ref, planes_ref,
+                 zeros_ref, out_ref, *, channels):
+    del dma_ref    # consumed by the planes BlockSpec's index_map
+    del zeros_ref  # aliased to out_ref: overflow-safe zero init
     d_out = 9 + 3 * channels
     s = pl.program_id(0)
     run = run_ref[s]
@@ -182,6 +183,13 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
             pl.BlockSpec((1, n_planes, pix),
                          lambda s, runs, items, dma: (dma[s], 0, 0),
                          memory_space=pltpu.VMEM),
+            # Aliased zeros: a run whose mandatory slot is truncated by
+            # the static slot budget (incoherent draw order past the 8x
+            # slack) keeps zero gradients instead of decoding
+            # uninitialised memory.
+            pl.BlockSpec((1, CHUNK, d_out),
+                         lambda s, runs, items, dma: (runs[s], 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, CHUNK, d_out),
                                lambda s, runs, items, dma: (runs[s], 0, 0),
@@ -192,10 +200,12 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (batch * num_blocks, CHUNK, d_out), jnp.float32),
+        input_output_aliases={5: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(slot_run, slot_item, slot_dma, face_table, planes)
+    )(slot_run, slot_item, slot_dma, face_table, planes,
+      jnp.zeros((batch * num_blocks, CHUNK, d_out), jnp.float32))
 
     # Rows map 1:1 to faces in draw order (block nb, offset j -> nb*CHUNK+j);
     # padded tail rows are zero (their face slots have empty bboxes, so no

@@ -142,3 +142,40 @@ def test_blocks_backend_square_exact(monkeypatch):
     inside = (cols >= lo) & (cols < hi)
     want = (inside[None, :] & inside[::-1, None]).astype(np.float32)[..., None]
     np.testing.assert_array_equal(np.asarray(px), want)
+
+
+def test_blocks_slot_budget_overflow_degrades_safely(monkeypatch):
+    # With the slot budget forced tiny, most tiles lose even their
+    # mandatory init slot.  The aliased init buffer must make such tiles
+    # render BACKGROUND (bounded degradation), never uninitialised values;
+    # tiles that did get slots must still match the reference.
+    from dirt_tpu.ops import forward_blocks
+    monkeypatch.setattr(forward_blocks, "CHUNK", 16)
+    monkeypatch.setenv("DIRT_TPU_SLOTS_PER_IMAGE", "2")
+    rng = np.random.RandomState(21)
+    v = rng.randn(1, 60, 4).astype(np.float32)
+    v[..., 3] = np.abs(v[..., 3]) + 0.5
+    f = rng.randint(0, 60, size=(1, 40, 3)).astype(np.int32)
+    c = rng.uniform(size=(1, 60, 3)).astype(np.float32)
+    bg = rng.uniform(size=(1, 96, 256, 3)).astype(np.float32)
+    px_b, aux_b = dispatch.forward_batch(bg, v, c, f, backend="blocks")
+    ref, aux_r = dispatch.forward_batch(bg, v, c, f, backend="reference")
+    idx_b = np.asarray(aux_b.face_index)
+    idx_r = np.asarray(aux_r.face_index)
+    # Truncation may drop a tile entirely (background) or drop part of its
+    # block list (a face SUBSET renders, so a farther valid face can win).
+    # The safety property is bounded degradation, never uninitialised
+    # memory: indices stay in [-1, F), pixels stay finite, background
+    # pixels are bit-exact background, and agreeing pixels match the
+    # reference.
+    assert idx_b.min() >= -1 and idx_b.max() < f.shape[1]
+    assert np.isfinite(np.asarray(px_b)).all()
+    fallback = idx_b == -1
+    agree = idx_b == idx_r
+    np.testing.assert_allclose(np.asarray(px_b)[fallback],
+                               np.asarray(bg)[fallback])
+    np.testing.assert_allclose(np.asarray(px_b)[agree],
+                               np.asarray(ref)[agree], atol=1e-4)
+    # The tiny budget must actually have dropped covered pixels -- i.e.
+    # the test exercises the overflow path.
+    assert (fallback & (idx_r >= 0)).any()
