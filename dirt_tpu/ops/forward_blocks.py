@@ -29,8 +29,9 @@ draw-order spatial coherence (any sane mesh export) the extra face-visits
 are small; a randomly-permuted face order degrades towards brute force --
 the per-face-exact packing remains available as backend "dense".
 
-The slot list length is static: min(tiles x blocks, max(512, 4 x blocks +
-tiles)) per image, overridable with DIRT_TPU_SLOTS_PER_IMAGE.  A scene
+The slot list length is static: min(tiles x blocks, max(512, tiles +
+8 x max(tiles, blocks))) per image, overridable with
+DIRT_TPU_SLOTS_PER_IMAGE.  A scene
 needing more slots (pathologically incoherent draw order) drops the
 later tiles' overflow hits; raise the env var for exactness there.
 
@@ -51,7 +52,11 @@ from . import forward_dense, forward_pallas, geometry, reference
 
 TILE_H = int(_os.environ.get("DIRT_TPU_BLOCKS_TILE_H", 32))
 TILE_W = int(_os.environ.get("DIRT_TPU_BLOCKS_TILE_W", 128))
-CHUNK = int(_os.environ.get("DIRT_TPU_BLOCKS_CHUNK", 64))
+# 128-face blocks measured fastest at both large recorded configs
+# (8192f: 167 vs 156 f/s; 65k: 18.6 vs 17.3; c32 slower): fewer
+# grid steps and better chunk occupancy outweigh the coarser
+# hit granularity once faces are small.
+CHUNK = int(_os.environ.get("DIRT_TPU_BLOCKS_CHUNK", 128))
 _BASE = forward_pallas._BASE
 
 
@@ -62,7 +67,7 @@ def _cdiv(a, b):
 def slots_per_image(num_runs, num_items):
     """Static slot-list length per image for a CSR sweep of `num_runs`
     runs (one mandatory slot each) over `num_items` candidates: one slot
-    per run plus ~4x max(runs, items) overlap slack -- comfortably above
+    per run plus ~8x max(runs, items) overlap slack -- comfortably above
     the actual hit count for draw-order-coherent meshes."""
     env = int(_os.environ.get("DIRT_TPU_SLOTS_PER_IMAGE", "0"))
     if env > 0:

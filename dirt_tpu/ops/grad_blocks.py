@@ -40,7 +40,11 @@ from . import backward, forward_blocks, grad_pallas
 
 TILE_H = int(_os.environ.get("DIRT_TPU_GRAD_BLOCKS_TILE_H", 32))
 TILE_W = int(_os.environ.get("DIRT_TPU_GRAD_BLOCKS_TILE_W", 128))
-CHUNK = int(_os.environ.get("DIRT_TPU_GRAD_BLOCKS_CHUNK", 64))
+# 128-face blocks measured fastest at both large recorded configs
+# (8192f: 167 vs 156 f/s; 65k: 18.6 vs 17.3; c32 slower): fewer
+# grid steps and better chunk occupancy outweigh the coarser
+# hit granularity once faces are small.
+CHUNK = int(_os.environ.get("DIRT_TPU_GRAD_BLOCKS_CHUNK", 128))
 
 
 def _cdiv(a, b):
