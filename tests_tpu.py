@@ -6,7 +6,7 @@ reference's device-executed smoke test, /root/reference/Dockerfile:47): one
 process, small shapes, persistent compile cache, asserting checks for
 
   1. square exactness (pallas + dense backends vs the analytic formula),
-  2. random-soup visibility parity across all three backends + native oracle,
+  2. random-soup visibility parity across all four backends + native oracle,
   3. gradient-kernel parity (chunk-dense, mxu) vs XLA + the scalar
      kernel's compiled-mode fence (it miscompiles on device),
   4. camera-plane-crossing scenes (clipping semantics) across backends,
@@ -77,13 +77,13 @@ def soup_parity():
     c = rng.uniform(size=(2, 80, 3)).astype(np.float32)
     bg = rng.uniform(size=(2, 64, 128, 3)).astype(np.float32)
     outs = {}
-    for backend in ("reference", "pallas", "dense"):
+    for backend in ("reference", "pallas", "dense", "blocks"):
         px, aux = jax.jit(lambda b, vv, cc, ff, _bk=backend:
                           dispatch.forward_batch(b, vv, cc, ff, _bk))(
             bg, v, c, f)
         outs[backend] = (np.asarray(px), np.asarray(aux.face_index))
     ref_px, ref_idx = outs["reference"]
-    for backend in ("pallas", "dense"):
+    for backend in ("pallas", "dense", "blocks"):
         px, idx = outs[backend]
         assert (idx == ref_idx).all(), (
             f"{backend}: {int((idx != ref_idx).sum())} visibility mismatches")
@@ -132,13 +132,14 @@ def crossing_scene():
     from test_clipping import _crossing_scene
     bg, v, c, f = _crossing_scene()
     outs = {}
-    for backend in ("reference", "pallas", "dense"):
+    for backend in ("reference", "pallas", "dense", "blocks"):
         px, aux = jax.jit(lambda b, vv, cc, ff, _bk=backend:
                           dispatch.forward_batch(b, vv, cc, ff, _bk))(
             bg, v, c, f)
         outs[backend] = np.asarray(aux.face_index)
     assert (outs["pallas"] == outs["reference"]).all()
     assert (outs["dense"] == outs["reference"]).all()
+    assert (outs["blocks"] == outs["reference"]).all()
     assert not (outs["reference"] == 2).any()   # behind-camera face clipped
 
 
