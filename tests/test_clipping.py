@@ -55,7 +55,7 @@ def _crossing_scene(batch=1):
 def test_backends_agree_bitwise_on_crossing_scene():
     bg, v, c, f = _crossing_scene()
     outs = {}
-    for backend in ("reference", "pallas", "dense"):
+    for backend in ("reference", "pallas", "dense", "blocks"):
         pixels, aux = dispatch.forward_batch(bg, v, c, f, backend=backend)
         outs[backend] = (np.asarray(pixels), np.asarray(aux.face_index))
     want_px, want_idx = oracle.rasterise(bg[0], v[0], c[0], f[0])
