@@ -131,7 +131,8 @@ def test_gradients_finite_and_kernels_agree_on_crossing_scene():
                      .astype(np.float32))
     g_xla = backward.rasterise_grad_batch(v_j, f_j, pixels, gp, aux,
                                           implementation="xla")
-    for kernel in (grad_pallas, grad_mxu):
+    from dirt_tpu.ops import grad_blocks, grad_dense
+    for kernel in (grad_pallas, grad_mxu, grad_dense, grad_blocks):
         g_k = kernel.rasterise_grad_batch(v_j, f_j, pixels, gp, aux,
                                           interpret=True)
         for name in ("grad_background", "grad_vertices",
