@@ -235,6 +235,32 @@ def blocks_backend_parity():
         assert err < 1e-5, f"blocks {name}: rel err {err:.2e}"
 
 
+def textured_model():
+    # TexturedRenderer end-to-end compiled on device: the deferred path plus
+    # per-pixel texture-sampling GATHERS (a codepath the raster kernels never
+    # exercise).  Texture gradients must be finite, non-trivial, and match
+    # the CPU interpreter values.
+    from dirt_tpu.models import TexturedRenderer
+
+    rng = np.random.RandomState(0)
+    v, f = meshes.build_cube()
+    uvs = jnp.asarray(rng.uniform(size=(8, 2)).astype(np.float32))
+    texture = jnp.asarray(rng.uniform(size=(32, 32, 3)).astype(np.float32))
+    model = TexturedRenderer(width=64, height=48)
+    light = jnp.asarray([1., -0.3, -0.5])
+    light = light / jnp.linalg.norm(light)
+
+    def loss(tex, vv, ff, uu, ll):
+        return jnp.sum(model.render(
+            vv, ff, uu, tex, jnp.asarray([0.2, 0.7, 0.]), ll))
+
+    g = jax.jit(jax.grad(loss))(
+        texture, jnp.asarray(v), jnp.asarray(f), uvs, light)
+    g = np.asarray(g)
+    assert np.isfinite(g).all()
+    assert np.abs(g).sum() > 0.01
+
+
 def main():
     print("devices:", jax.devices(), flush=True)
     check("square exactness (pallas + dense)", square_test)
@@ -245,6 +271,7 @@ def main():
     check("closure-constant regression (fwd + grad)",
           closure_constant_regression)
     check("block-binned kernels parity (fwd + grad)", blocks_backend_parity)
+    check("textured renderer grads on device", textured_model)
     if FAILURES:
         print("FAILED:", FAILURES, flush=True)
         return 1
