@@ -10,7 +10,10 @@ process, small shapes, persistent compile cache, asserting checks for
   3. gradient-kernel parity (chunk-dense, mxu) vs XLA + the scalar
      kernel's compiled-mode fence (it miscompiles on device),
   4. camera-plane-crossing scenes (clipping semantics) across backends,
-  5. deferred shading end-to-end (loss decreases over a short fit).
+  5. deferred shading end-to-end (loss decreases over a short fit),
+  6. closure-constant regression (jit-captured scenes match all-args),
+  7. block-binned (CSR) kernel parity, forward and gradient,
+  8. textured renderer gradients (texture-sampling gathers).
 
 Run from the repo root with the TPU env untouched:  python tests_tpu.py
 """
