@@ -5,16 +5,42 @@ rasterise fwd+bwd on a Gouraud-shaded mesh.  The reference publishes no
 numbers (BASELINE.md), so this harness *establishes* the baseline; the value
 recorded by the driver in BENCH_r{N}.json tracks round-over-round progress.
 
-Prints exactly one JSON line:
+Prints exactly one JSON line on success:
   {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+and EXITS NON-ZERO on any measurement failure instead of printing a number.
+The reference's correctness floor is pass/fail (tests/square_test.py:54-57
+must print "successful"); this harness applies the same philosophy to its
+own timing:
+
+  * The oracle parity gate always runs (eager AND jitted paths) -- a wrong
+    image means no benchmark number, period.
+  * The lax.scan slope (t_long - t_short) must be plausible: positive and
+    at least 30% of t_short (the long scan runs 3x the iterations, so a
+    genuine measurement has slope ~ 2x t_short minus constant overhead; the
+    axon relay's content-caching failure mode returns near-zero or negative
+    slopes).  Implausible slopes are re-measured with fresh input nonces;
+    after MAX_ATTEMPTS failures the harness exits non-zero.
+  * Each scan length is timed as the MEDIAN of an odd number of repeats,
+    each on a freshly perturbed input (identical (executable, input) pairs
+    are sporadically content-cached by the relay; min-of-N selects exactly
+    the cached lie).
+  * The final value is sanity-bounded against the best honest recorded
+    number (a >10x jump in one round is a measurement artifact, not a
+    speedup; round 2's driver artifact recorded 16e9 frames/sec from a
+    silently clamped non-positive slope).
 
 Environment knobs:
   DIRT_BENCH_BATCH / DIRT_BENCH_RES / DIRT_BENCH_SEGMENTS / DIRT_BENCH_ITERS
-  DIRT_BENCH_BACKEND (default: auto -> pallas on TPU)
+  DIRT_BENCH_BACKEND (default: auto -> dense/blocks on TPU)
+  DIRT_BENCH_POISON_SLOPE=1  test hook: simulates the relay content-cache
+    failure (forces a non-positive slope) so tests can assert the harness
+    refuses to print a number (tests/test_bench_harness.py).
 """
 
 import json
 import os
+import statistics
+import sys
 import time
 
 import numpy as np
@@ -27,8 +53,18 @@ from dirt_tpu.utils import meshes
 
 # Throughput of a V100 running the reference at this config is the north-star
 # comparison (BASELINE.json); no published number exists, so vs_baseline is
-# reported against this locally-measured round-1 anchor once recorded.
-ROUND1_ANCHOR = 520.9  # frames/sec/chip measured in round 1 (TPU v5e)
+# reported against this locally-measured round-1 anchor.
+ROUND1_ANCHOR = 520.9   # frames/sec/chip measured in round 1 (TPU v5e)
+RECORD_BEST = 1243.0    # best honest recorded value (round 2, TPU v5e)
+MAX_ATTEMPTS = 3        # slope re-measurements before giving up
+REPEATS = 5             # odd; median defeats one-off relay cache hits
+DEFAULT_CONFIG = (16, 256, 64)   # (batch, res, segments) of the headline
+
+
+def fail(message):
+    print(f"bench.py: MEASUREMENT FAILURE: {message}", file=sys.stderr,
+          flush=True)
+    sys.exit(2)
 
 
 def build_scene(batch, resolution, segments):
@@ -60,40 +96,48 @@ def build_scene(batch, resolution, segments):
     return background, clip, colors, faces_b, weights
 
 
+def parity_gate(background, clip, colors, faces):
+    """Unconditional pre-timing parity gate vs the native C++ oracle.
+
+    The first image must match the oracle's visibility exactly and pixels
+    within FMA tolerance, on BOTH execution paths: eager (op-by-op) and
+    compiled (the shape the timed loop runs).  Compiled-graph corruption
+    through the remote-compile relay has been observed with exact visibility
+    and wrong pixels, which an eager-only gate cannot catch.
+    """
+    from dirt_tpu.ops import dispatch as _dispatch
+    from dirt_tpu.utils import oracle as _oracle
+    want_pixels, want_index = _oracle.rasterise(
+        np.asarray(background[0]), np.asarray(clip[0]),
+        np.asarray(colors[0]), np.asarray(faces[0]))
+    for tag, fwd in (
+            ("eager", _dispatch.forward_batch),
+            ("jitted", jax.jit(_dispatch.forward_batch))):
+        pixels, aux = fwd(background[:1], clip[:1], colors[:1], faces[:1])
+        if not (np.asarray(aux.face_index[0]) == want_index).all():
+            fail(f"visibility parity failure vs native oracle ({tag})")
+        try:
+            np.testing.assert_allclose(
+                np.asarray(pixels[0]), want_pixels, atol=1e-4, rtol=1e-5)
+        except AssertionError as exc:
+            fail(f"pixel parity failure vs native oracle ({tag}): {exc}")
+    print("# parity vs native oracle: OK (eager + jitted)", flush=True)
+
+
 def main():
     batch = int(os.environ.get("DIRT_BENCH_BATCH", "16"))
     resolution = int(os.environ.get("DIRT_BENCH_RES", "256"))
     segments = int(os.environ.get("DIRT_BENCH_SEGMENTS", "64"))
     iters = int(os.environ.get("DIRT_BENCH_ITERS", "20"))
     backend = os.environ.get("DIRT_BENCH_BACKEND") or None
+    poison = bool(os.environ.get("DIRT_BENCH_POISON_SLOPE"))
 
     background, clip, colors, faces, weights = build_scene(
         batch, resolution, segments)
 
-    if os.environ.get("DIRT_BENCH_VERIFY"):
-        # Parity gate before timing: the first image must match the native
-        # C++ oracle's visibility exactly and pixels within FMA tolerance.
-        import numpy as _np
-        from dirt_tpu.ops import dispatch as _dispatch
-        from dirt_tpu.utils import oracle as _oracle
-        want_pixels, want_index = _oracle.rasterise(
-            _np.asarray(background[0]), _np.asarray(clip[0]),
-            _np.asarray(colors[0]), _np.asarray(faces[0]))
-        # Gate BOTH execution paths: eager (op-by-op) and compiled (the
-        # shape the timed loop runs).  Compiled-graph corruption through
-        # the remote-compile path has been observed with exact visibility
-        # and wrong pixels, which an eager-only gate cannot catch.
-        for tag, fwd in (
-                ("eager", _dispatch.forward_batch),
-                ("jitted", jax.jit(_dispatch.forward_batch))):
-            pixels, aux = fwd(
-                background[:1], clip[:1], colors[:1], faces[:1])
-            assert (_np.asarray(aux.face_index[0]) == want_index).all(), \
-                f"visibility parity failure vs native oracle ({tag})"
-            _np.testing.assert_allclose(
-                _np.asarray(pixels[0]), want_pixels, atol=1e-4, rtol=1e-5,
-                err_msg=f"pixel parity failure vs native oracle ({tag})")
-        print("# parity vs native oracle: OK (eager + jitted)", flush=True)
+    # Parity gate before timing, ALWAYS (VERDICT r2: the one driver run that
+    # mattered ran ungated).  Costs one image render; negligible.
+    parity_gate(background, clip, colors, faces)
 
     def loss(clip_v, colors_v, background_v, faces_v, weights_v):
         pixels = dirt_tpu.rasterise_batch(
@@ -123,21 +167,61 @@ def main():
     short, long_ = make_runner(iters), make_runner(iters * 3)
     scene = (colors, background, faces, weights)
 
-    def timed(fn, nonce):
-        jax.block_until_ready(fn(clip, *scene))   # warm up / compile
-        # Fresh input per call (a remote-execution relay may cache identical
-        # (executable, input) pairs); min over repeats tames dispatch jitter.
-        times = []
-        for k in range(3):
-            t0 = time.perf_counter()
-            jax.block_until_ready(fn(clip + nonce * (k + 1), *scene))
-            times.append(time.perf_counter() - t0)
-        return min(times)
+    def timed(fn, nonces):
+        """Median over REPEATS runs, each on a freshly perturbed input.
 
-    t_short = timed(short, 1e-6)
-    t_long = timed(long_, 2e-6)
-    per_step = max((t_long - t_short) / (2 * iters), 1e-9)
+        Fresh inputs defeat the relay's (executable, input) content cache;
+        the median (not min) defeats a residual one-off cache hit -- the
+        minimum would select exactly the cached lie.
+        """
+        times = []
+        for nonce in nonces:
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(clip + nonce, *scene))
+            times.append(time.perf_counter() - t0)
+        return statistics.median(times)
+
+    # Warm up / compile both executables before any timing.
+    jax.block_until_ready(short(clip, *scene))
+    jax.block_until_ready(long_(clip, *scene))
+
+    per_step = None
+    for attempt in range(MAX_ATTEMPTS):
+        base = 1e-6 * (10 ** attempt)
+        t_short = timed(short, [base * (k + 1) for k in range(REPEATS)])
+        t_long = timed(long_, [base * (k + 1 + REPEATS)
+                               for k in range(REPEATS)])
+        if poison:
+            # Test hook: simulate the relay content-cache failure mode (the
+            # long scan "returns" instantly).
+            t_long = t_short * 0.5
+        slope = t_long - t_short
+        # A genuine 3x-length scan has slope ~ 2 * t_short minus constant
+        # dispatch overhead; anything under 30% of t_short means at least
+        # one of the two timings is a cache/jitter lie.
+        if slope >= 0.3 * t_short and slope > 0:
+            per_step = slope / (2 * iters)
+            break
+        print(f"# implausible slope on attempt {attempt + 1}: "
+              f"t_short={t_short:.4f}s t_long={t_long:.4f}s "
+              f"slope={slope:.4f}s -- re-measuring with fresh nonces",
+              file=sys.stderr, flush=True)
+    if per_step is None:
+        fail(f"slope implausible after {MAX_ATTEMPTS} attempts "
+             "(relay content-cache / jitter failure mode); refusing to "
+             "print a number")
+
     frames_per_sec = batch / per_step
+    # Sanity bound: at the headline config, reject anything >10x the best
+    # honest recorded value -- physical speedups of that size do not happen
+    # in one round, measurement artifacts do (BENCH_r02 recorded 16e9 f/s).
+    cap = (10 * RECORD_BEST
+           if (batch, resolution, segments) == DEFAULT_CONFIG else 1e6)
+    if frames_per_sec > cap:
+        fail(f"value {frames_per_sec:.1f} frames/sec/chip exceeds the "
+             f"sanity bound {cap:.0f} (10x best recorded honest value); "
+             "refusing to publish a measurement artifact")
+
     vs_baseline = (frames_per_sec / ROUND1_ANCHOR) if ROUND1_ANCHOR else 1.0
     print(json.dumps({
         "metric": f"rasterise_fwd_bwd_{resolution}x{resolution}_b{batch}"
