@@ -17,6 +17,7 @@ from .rasterise_ops import (
     rasterise,
     rasterise_batch,
     rasterise_batch_deferred,
+    rasterise_batch_with_aux,
     rasterise_deferred,
     rasterise_grad_debug,
 )
@@ -26,6 +27,7 @@ __all__ = [
     "rasterise_batch",
     "rasterise_deferred",
     "rasterise_batch_deferred",
+    "rasterise_batch_with_aux",
     "rasterise_grad_debug",
     "matrices",
     "projection",

@@ -31,9 +31,10 @@ the per-face-exact packing remains available as backend "dense".
 
 The slot list length is static: min(tiles x blocks, max(512, tiles +
 8 x max(tiles, blocks))) per image, overridable with
-DIRT_TPU_SLOTS_PER_IMAGE.  A scene
-needing more slots (pathologically incoherent draw order) drops the
-later tiles' overflow hits; raise the env var for exactness there.
+DIRT_TPU_SLOTS_PER_IMAGE.  A scene needing more slots (pathologically
+incoherent draw order) drops the later tiles' overflow hits -- the count
+of dropped slots is surfaced per image as RasterAux.dropped (never
+silent); raise the env var for exactness there.
 
 Replaces the role of GL triangle setup + raster binning at mesh scale
 (csrc/rasterise_egl.cpp:362-380; the reference's envelope is 2^24 vertices,
@@ -79,12 +80,16 @@ def slots_per_image(num_runs, num_items):
 def build_slots(hit, num_slots):
     """CSR slot list for one image from the [T, NB] bool hit matrix.
 
-    Returns (slot_tile [S], slot_block [S], slot_dma [S]) int32.
+    Returns (slot_tile [S], slot_block [S], slot_dma [S], dropped []) int32.
     Consecutive slots with the same tile form that tile's run: all hitting
     blocks in draw order.  A tile with zero hits still gets one slot with
     block -1 (so the kernel initialises its state) and filler tail slots
     repeat the last tile with block -1; slot_dma forward-fills block ids so
     no-op slots keep the resident face block.
+
+    ``dropped`` counts the slots the static budget could not hold (the
+    truncated tail tiles degrade to background via the aliased init); see
+    reference.RasterAux.dropped for how callers surface it.
     """
     num_tiles, num_blocks = hit.shape
     order = jnp.argsort(jnp.logical_not(hit), axis=1,
@@ -118,7 +123,8 @@ def build_slots(hit, num_slots):
     slot_dma = jnp.where(
         last_active >= 0,
         slot_block[jnp.maximum(last_active, 0)], 0)
-    return slot_tile, slot_block, slot_dma
+    dropped = jnp.maximum(jnp.sum(m) - num_slots, 0)
+    return slot_tile, slot_block, slot_dma, dropped
 
 
 def hit_matrix(face_data, bbox_cols, num_blocks, chunk,
@@ -250,10 +256,12 @@ def rasterise_batch(background, vertices, vertex_colors, faces,
     batch, height, width, channels = background.shape
     num_faces = faces.shape[1]
     if num_faces == 0:
-        return jax.vmap(reference.shade_pixels)(
+        pixels0, aux0 = jax.vmap(reference.shade_pixels)(
             jnp.full((batch, height, width), -1, jnp.int32),
             geometry.face_setup(vertices, faces), faces, vertex_colors,
             background)
+        return pixels0, aux0._replace(
+            dropped=jnp.zeros((batch,), jnp.int32))
 
     num_blocks = _cdiv(num_faces, CHUNK)
     tiles_y = _cdiv(height, TILE_H)
@@ -269,11 +277,11 @@ def rasterise_batch(background, vertices, vertex_colors, faces,
             v, c, f, height, width, num_blocks * CHUNK - num_faces)
         hit = hit_matrix(face_data, (20, 21, 22, 23), num_blocks, CHUNK,
                          tiles_y, tiles_x, TILE_H, TILE_W)
-        slot_tile, slot_block, slot_dma = build_slots(hit, num_slots)
+        slot_tile, slot_block, slot_dma, dropped = build_slots(hit, num_slots)
         return face_data.reshape(num_blocks, CHUNK, width_d), \
-            slot_tile, slot_block, slot_dma
+            slot_tile, slot_block, slot_dma, dropped
 
-    face_table, slot_tile, slot_block, slot_dma = jax.vmap(pack_one)(
+    face_table, slot_tile, slot_block, slot_dma, dropped = jax.vmap(pack_one)(
         vertices, vertex_colors, faces)
     # Flat 1-D prefetch arrays (a >1-D trailing dim pads to 128 SMEM lanes);
     # fold the batch index into the tile/block ids so the batch is one run.
@@ -329,6 +337,7 @@ def rasterise_batch(background, vertices, vertex_colors, faces,
     )(slot_tile, slot_block, slot_dma, face_table, state_init)
 
     state = state.reshape(batch, num_tiles, ns, pix)
-    return forward_dense.finalize(state, background, height, width,
-                                  tiles_y, tiles_x,
-                                  tile_h=TILE_H, tile_w=TILE_W)
+    pixels, aux = forward_dense.finalize(state, background, height, width,
+                                         tiles_y, tiles_x,
+                                         tile_h=TILE_H, tile_w=TILE_W)
+    return pixels, aux._replace(dropped=dropped)

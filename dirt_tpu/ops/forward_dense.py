@@ -174,10 +174,12 @@ def rasterise_batch(background, vertices, vertex_colors, faces,
     batch, height, width, channels = background.shape
     num_faces = faces.shape[1]
     if num_faces == 0:
-        return jax.vmap(reference.shade_pixels)(
+        pixels0, aux0 = jax.vmap(reference.shade_pixels)(
             jnp.full((batch, height, width), -1, jnp.int32),
             geometry.face_setup(vertices, faces), faces, vertex_colors,
             background)
+        return pixels0, aux0._replace(
+            dropped=jnp.zeros((batch,), jnp.int32))
 
     num_chunks = max(1, _cdiv(forward_pallas.tile_face_cap(num_faces), CHUNK))
     tiles_y = _cdiv(height, TILE_H)
@@ -188,7 +190,7 @@ def rasterise_batch(background, vertices, vertex_colors, faces,
     pix = TILE_H * TILE_W
     ns = channels + 9
 
-    face_data, counts = jax.vmap(
+    face_data, counts, dropped = jax.vmap(
         functools.partial(forward_pallas._pack_faces, height=height,
                           width=width, num_chunks=num_chunks,
                           tiles_y=tiles_y, tiles_x=tiles_x, chunk=CHUNK,
@@ -220,8 +222,9 @@ def rasterise_batch(background, vertices, vertex_colors, faces,
         interpret=interpret,
     )(counts, face_data)
 
-    return finalize(state, background, height, width, tiles_y, tiles_x,
-                    tile_h=TILE_H, tile_w=TILE_W)
+    pixels, aux = finalize(state, background, height, width, tiles_y,
+                           tiles_x, tile_h=TILE_H, tile_w=TILE_W)
+    return pixels, aux._replace(dropped=dropped)
 
 
 def finalize(state, background, height, width, tiles_y, tiles_x,

@@ -137,6 +137,8 @@ def _pack_faces(vertices, vertex_colors, faces, height, width, num_chunks,
     Returns:
         face_data: [T, num_chunks, CHUNK, _BASE + 3 * C] float32.
         counts: [T, 1, 1, 1] int32 -- hit count per tile.
+        dropped: [] int32 -- face visits beyond the per-tile cap, summed
+            over tiles (0 when the packing is exact; see RasterAux.dropped).
     """
     CHUNK = chunk if chunk is not None else globals()["CHUNK"]
     TILE_H = tile_h if tile_h is not None else globals()["TILE_H"]
@@ -167,10 +169,11 @@ def _pack_faces(vertices, vertex_colors, faces, height, width, num_chunks,
     # materialised per tile (hits-first order keeps the earliest-drawn).
     # For num_faces below the cap this is exact; see tile_face_cap().
     max_rows = num_chunks * CHUNK
+    dropped = jnp.sum(jnp.maximum(counts - max_rows, 0))
     counts = jnp.minimum(counts, max_rows)
     tiled = jnp.take(face_data, order[:, :max_rows], axis=0)   # [T, rows, D]
     tiled = tiled.reshape(tiles_y * tiles_x, num_chunks, CHUNK, width_d)
-    return tiled, counts[:, None, None, None]
+    return tiled, counts[:, None, None, None], dropped
 
 
 def tile_face_cap(num_faces):
@@ -355,10 +358,12 @@ def rasterise_batch(background, vertices, vertex_colors, faces,
     batch, height, width, channels = background.shape
     num_faces = faces.shape[1]
     if num_faces == 0:
-        return jax.vmap(reference.shade_pixels)(
+        pixels0, aux0 = jax.vmap(reference.shade_pixels)(
             jnp.full((batch, height, width), -1, jnp.int32),
             geometry.face_setup(vertices, faces), faces, vertex_colors,
             background)
+        return pixels0, aux0._replace(
+            dropped=jnp.zeros((batch,), jnp.int32))
 
     num_chunks = max(1, _cdiv(tile_face_cap(num_faces), CHUNK))
     tiles_y = _cdiv(height, TILE_H)
@@ -366,7 +371,7 @@ def rasterise_batch(background, vertices, vertex_colors, faces,
     hp, wp = tiles_y * TILE_H, tiles_x * TILE_W
     width_d = _BASE + 3 * channels
 
-    face_data, counts = jax.vmap(
+    face_data, counts, dropped = jax.vmap(
         functools.partial(_pack_faces, height=height, width=width,
                           num_chunks=num_chunks, tiles_y=tiles_y,
                           tiles_x=tiles_x))(
@@ -425,5 +430,6 @@ def rasterise_batch(background, vertices, vertex_colors, faces,
         indices=aux8[..., 4:7].astype(jnp.int32),
         barycentric=aux8[..., 0:3],
         clip_w=aux8[..., 3],
+        dropped=dropped,
     )
     return pixels, aux

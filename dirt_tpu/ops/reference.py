@@ -22,11 +22,24 @@ from . import geometry
 class RasterAux(NamedTuple):
     """Residuals the backward pass needs (the reference re-renders these in
     its grad op, csrc/rasterise_grad_egl.cpp:432-456; we emit them from the
-    forward pass instead, avoiding the second rasterisation)."""
+    forward pass instead, avoiding the second rasterisation).
+
+    ``dropped`` is the silent-cap diagnostic (SURVEY.md section 7 requires
+    capped/binned schedules to surface truncation): the number of face
+    visits this image's work schedule could NOT materialise -- faces beyond
+    the per-tile face cap (forward_pallas/forward_dense, summed over tiles)
+    or (tile, block) overlap hits beyond the CSR slot budget
+    (forward_blocks).  Exact schedules report 0.  A non-zero count means
+    geometry was dropped from the render: raise DIRT_TPU_TILE_FACE_CAP /
+    DIRT_TPU_SLOTS_PER_IMAGE (or use an exact backend) and re-render.  The
+    reference *errors* at its analogous cap (rasterise_grad_egl.cpp:399-405);
+    we keep rendering degraded but make the degradation observable.
+    """
     face_index: jnp.ndarray   # [*, H, W] int32, -1 where background
     indices: jnp.ndarray      # [*, H, W, 3] int32 vertex-index triple, -1 bg
     barycentric: jnp.ndarray  # [*, H, W, 3] perspective-correct, -1 bg
     clip_w: jnp.ndarray       # [*, H, W] fragment clip-space w, +inf bg
+    dropped: jnp.ndarray = None  # [*] int32 dropped face visits (see above)
 
 
 def visibility_scan(setup: geometry.FaceSetup, height, width):
@@ -150,7 +163,11 @@ def rasterise_single(background, vertices, vertex_colors, faces):
     height, width = background.shape[0], background.shape[1]
     setup = geometry.face_setup(vertices, faces)
     best_index = visibility_scan(setup, height, width)
-    return shade_pixels(best_index, setup, faces, vertex_colors, background)
+    pixels, aux = shade_pixels(best_index, setup, faces, vertex_colors,
+                               background)
+    # The brute-force scan sweeps every face against every pixel: exact by
+    # construction, nothing is ever dropped.
+    return pixels, aux._replace(dropped=jnp.zeros((), jnp.int32))
 
 
 def rasterise_batch(background, vertices, vertex_colors, faces):

@@ -115,15 +115,44 @@ def rasterise(background, vertices, vertex_colors, faces, height=None,
         height, width, channels, backend)[0]
 
 
+def rasterise_batch_with_aux(background, vertices, vertex_colors, faces,
+                             backend=None):
+    """Forward rasterisation returning the per-pixel aux diagnostics.
+
+    Returns (pixels, RasterAux) for a batch.  RasterAux carries the
+    backward-pass residuals (face index map, vertex-index triples,
+    perspective-correct barycentrics, clip-w) plus ``dropped`` -- the
+    silent-cap diagnostic: a per-image count of face visits the backend's
+    work schedule could not materialise (per-tile face cap for the
+    dense/pallas packings, CSR slot budget for the blocks backend; exact
+    schedules report 0).  A non-zero ``dropped`` means the render is
+    degraded: raise DIRT_TPU_TILE_FACE_CAP / DIRT_TPU_SLOTS_PER_IMAGE or
+    switch backend, and re-render.
+
+    This is a diagnostic/debug surface: the returned pixels are NOT hooked
+    into the custom_vjp gradient path (use ``rasterise_batch`` for
+    training).  The reference has no analogue -- it *errors* at its only
+    cap (csrc/rasterise_grad_egl.cpp:399-405) -- but SURVEY.md section 7
+    requires capped/binned schedules to surface truncation.
+    """
+    return _dispatch.forward_batch(
+        jnp.asarray(background, jnp.float32),
+        jnp.asarray(vertices, jnp.float32),
+        jnp.asarray(vertex_colors, jnp.float32),
+        jnp.asarray(faces, jnp.int32), backend)
+
+
 def rasterise_grad_debug(background, vertices, vertex_colors, faces,
                          grad_pixels, backend=None, grad_implementation=None):
     """Runs the gradient assembly with its debug output exposed.
 
     The analogue of the reference grad op's `debug_thingy` image
     (csrc/rasterise_grad_egl.cpp:44, rasterise_grad_egl.cu:150-172): returns
-    (grads, debug) where `debug` is a [height, width] image marking pixels
-    whose gradients were dilated to an occluder, for visualising/diagnosing
-    the occlusion-boundary behaviour.  All arguments are single-image.
+    (grads, debug) where `debug` is a [height, width, 3] image whose channel
+    0 marks pixels dilated to an occluder (1e-2) and channels 1/2 echo the
+    incoming gradient's channels 1/2 (see ops/backward.debug_image), for
+    visualising/diagnosing the occlusion-boundary behaviour.  All arguments
+    are single-image.
 
     `grad_implementation` selects the gradient-assembly path ("pallas" /
     "xla" / None for the same automatic choice production uses), so the debug
