@@ -43,7 +43,26 @@ class RasteriseGrads(NamedTuple):
     grad_background: jnp.ndarray     # [H, W, C]
     grad_vertices: jnp.ndarray       # [V, 4]
     grad_vertex_colors: jnp.ndarray  # [V, C]
-    debug: jnp.ndarray               # [H, W] dilation marker (debug_thingy ch0)
+    debug: jnp.ndarray               # [H, W, 3] debug_thingy (see debug_image)
+
+
+def debug_image(dilated, grad_pixels):
+    """The reference grad op's `debug_thingy` image
+    (rasterise_grad_egl.cu:150-151,172): channel 0 marks pixels whose
+    gradients were dilated to an occluder (1e-2), channels 1 and 2 echo the
+    incoming pixel-gradient channels 1 and 2.  When the cotangent has fewer
+    than 3 channels the echoed channels stay 0 (the reference indexes its
+    grad tensor out of bounds there; deliberate deviation, as for the
+    Scharr Vec3 reads -- module docstring).
+
+    Args may be batched or not: dilated [*, H, W] bool,
+    grad_pixels [*, H, W, C].  Returns [*, H, W, 3] float32.
+    """
+    marker = jnp.where(dilated, 1.e-2, 0.0)
+    channels = grad_pixels.shape[-1]
+    ch1 = grad_pixels[..., 1] if channels > 1 else jnp.zeros_like(marker)
+    ch2 = grad_pixels[..., 2] if channels > 2 else jnp.zeros_like(marker)
+    return jnp.stack([marker, ch1, ch2], axis=-1)
 
 
 def _shift(array, ox, oy, fill):
@@ -286,7 +305,7 @@ def rasterise_grad_single(vertices, faces, pixels, grad_pixels, aux):
         safe_idx.reshape(-1),
         num_segments=num_vertices)
 
-    debug = jnp.where(dilated, 1.e-2, 0.0)
+    debug = debug_image(dilated, grad_pixels)
     return RasteriseGrads(grad_background, grad_vertices, grad_vertex_colors,
                           debug)
 
@@ -297,31 +316,32 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
 
     `implementation`: "dense" (chunk-dense VPU-reduction kernel,
     ops/grad_dense.py), "blocks" (block-binned dense kernel for large
-    meshes, ops/grad_blocks.py), "pallas" (face-major scalar-reduction
-    kernel, ops/grad_pallas.py), "mxu" (mask-matrix contraction kernel,
+    meshes, ops/grad_blocks.py), "mxu" (mask-matrix contraction kernel,
     ops/grad_mxu.py), "xla" (segment_sum scatters, this module), or None
     for automatic (see _auto_grad_kernel; overridable with
-    DIRT_TPU_GRAD_BACKEND).
+    DIRT_TPU_GRAD_BACKEND).  (A fifth path -- the round-1 face-major
+    scalar-SMEM kernel -- was deleted in round 3: Mosaic miscompiled it on
+    real TPUs; the minimised compiler-bug repro is
+    repro/mosaic_scalar_smem_accum.py.)
     """
     import os
     from . import dispatch
-    # Constants folded through the compile relay arrive corrupted; see
-    # dispatch.guard_constants.
+    # Coerce before guarding so list/numpy inputs take the same path as
+    # arrays; constants folded through the compile relay arrive corrupted
+    # (see dispatch.guard_constants).
     vertices, faces, pixels, grad_pixels, aux = dispatch.guard_constants(
-        vertices, faces, pixels, grad_pixels, aux)
+        jnp.asarray(vertices, jnp.float32),
+        jnp.asarray(faces, jnp.int32),
+        jnp.asarray(pixels, jnp.float32),
+        jnp.asarray(grad_pixels, jnp.float32), aux)
     if implementation is None:
         implementation = os.environ.get("DIRT_TPU_GRAD_BACKEND", "auto")
     if implementation == "auto":
-        from . import dispatch
         if dispatch.on_accelerator():
             implementation = _auto_grad_kernel(faces.shape[1],
                                                pixels.shape[1:3])
         else:
             implementation = "xla"
-    if implementation == "pallas":
-        from . import grad_pallas
-        return grad_pallas.rasterise_grad_batch(
-            vertices, faces, pixels, grad_pixels, aux)
     if implementation == "dense":
         from . import grad_dense
         return grad_dense.rasterise_grad_batch(
@@ -343,12 +363,12 @@ def _auto_grad_kernel(num_faces, image_hw):
 
     The chunk-dense kernel (ops/grad_dense.py) is the production choice:
     measured on TPU v5e (round 2) it is the fastest of the implementations
-    (8.1 ms vs 13.8 ms scalar at the 512-face bench scene) AND matches the
-    XLA ground truth on-device at multi-chunk configurations -- the
-    face-major scalar kernel miscompiles through Mosaic once num_chunks > 1
-    (wrong values/NaN; fine in interpreter mode), and the MXU contraction
-    kernel is slower still (Precision.HIGHEST 6-pass matmuls).  All remain
-    available via DIRT_TPU_GRAD_BACKEND for comparison.  Past the
+    (8.1 ms vs 13.8 ms for the round-1 face-major scalar kernel at the
+    512-face bench scene) AND matches the XLA ground truth on-device at
+    multi-chunk configurations.  The scalar kernel was deleted in round 3
+    (Mosaic miscompiled it compiled -- repro/mosaic_scalar_smem_accum.py);
+    the MXU contraction kernel is slower (Precision.HIGHEST 6-pass matmuls)
+    but stays available via DIRT_TPU_GRAD_BACKEND for comparison.  Past the
     block-binning threshold (shared with the forward, see
     dispatch.default_backend) large meshes switch to the block-binned
     kernel whose face-table memory is O(faces), not O(tiles x faces).

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from . import backward, forward_blocks, grad_pallas
+from . import backward, forward_blocks, grad_tables
 
 TILE_H = int(_os.environ.get("DIRT_TPU_GRAD_BLOCKS_TILE_H", 32))
 TILE_W = int(_os.environ.get("DIRT_TPU_GRAD_BLOCKS_TILE_W", 128))
@@ -124,7 +124,8 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
             grad_vertices=jnp.zeros((batch, num_vertices, 4), jnp.float32),
             grad_vertex_colors=jnp.zeros(
                 (batch, num_vertices, channels), jnp.float32),
-            debug=jnp.zeros((batch, height, width), jnp.float32))
+            debug=backward.debug_image(
+                jnp.zeros((batch, height, width), bool), grad_pixels))
 
     pre = backward.grad_prepass(pixels, grad_pixels, aux)
 
@@ -154,15 +155,19 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
         batch * num_tiles, n_planes, pix)
 
     def pack_one(v, f):
-        face_data = grad_pallas._grad_face_table(
+        face_data = grad_tables._grad_face_table(
             v, f, height, width, num_blocks * CHUNK - num_faces)
         hit = forward_blocks.hit_matrix(
             face_data, (0, 1, 2, 3), num_blocks, CHUNK,
             tiles_y, tiles_x, TILE_H, TILE_W)
-        # Transposed CSR: runs are blocks, items are tiles.
-        slot_run, slot_item, slot_dma = forward_blocks.build_slots(
+        # Transposed CSR: runs are blocks, items are tiles.  The dropped
+        # count is discarded here: the gradient side has no aux channel, and
+        # the forward pass over the same geometry (whose dilation-narrower
+        # bboxes make its schedule a near-subset of this one) already
+        # surfaces overflow via RasterAux.dropped before gradients run.
+        slot_run, slot_item, slot_dma, _ = forward_blocks.build_slots(
             hit.T, num_slots)
-        return face_data.reshape(num_blocks, CHUNK, grad_pallas._DF), \
+        return face_data.reshape(num_blocks, CHUNK, grad_tables._DF), \
             slot_run, slot_item, slot_dma
 
     face_table, slot_run, slot_item, slot_dma = jax.vmap(pack_one)(
@@ -172,7 +177,7 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
     slot_item = slot_item.reshape(-1)                          # active flag
     slot_dma = (slot_dma + num_tiles * boff).reshape(-1)       # planes DMA
     face_table = face_table.reshape(
-        batch * num_blocks, CHUNK, grad_pallas._DF)
+        batch * num_blocks, CHUNK, grad_tables._DF)
 
     kernel = functools.partial(_grad_kernel, channels=channels)
 
@@ -181,7 +186,7 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
         grid=(batch * num_slots,),
         in_specs=[
             # Resident across the block's tile run.
-            pl.BlockSpec((1, CHUNK, grad_pallas._DF),
+            pl.BlockSpec((1, CHUNK, grad_tables._DF),
                          lambda s, runs, items, dma: (runs[s], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_planes, pix),
@@ -231,6 +236,6 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
         jnp.zeros_like(summed[..., 0]), summed[..., 2],
     ], axis=-1)
     grad_vertex_colors = summed[..., 3:]
-    debug = jnp.where(pre.dilated, 1.e-2, 0.0)
+    debug = backward.debug_image(pre.dilated, grad_pixels)
     return backward.RasteriseGrads(
         pre.grad_background, grad_vertices, grad_vertex_colors, debug)

@@ -1,7 +1,7 @@
 """Dense Pallas TPU kernel for the gradient scatters.
 
-Same gradient semantics as ops/backward.py / ops/grad_pallas.py (the
-reference's assemble_grads kernel, csrc/rasterise_grad_egl.cu:93-236), with
+Same gradient semantics as ops/backward.py (the reference's
+assemble_grads kernel, csrc/rasterise_grad_egl.cu:93-236), with
 the per-face masked pixel reductions computed DENSELY over a whole face
 chunk at once, mirroring ops/forward_dense.py's treatment of the forward
 sweep:
@@ -12,9 +12,11 @@ sweep:
 
 so every accumulation is a full-width VPU reduction of a [CHUNK, PIX]
 plane; there is no per-face `fori_loop`, no scalar SMEM accumulation (the
-serialisation that bounds ops/grad_pallas.py at ~13.7 ms on the bench
-scene), and no MXU precision contortions (ops/grad_mxu.py's
-Precision.HIGHEST 6-pass matmuls measured slower than the scalar kernel).
+serialisation that bounded the round-1 face-major scalar kernel at ~13.7 ms
+on the bench scene -- a kernel since deleted: Mosaic miscompiled it on real
+TPUs, see repro/mosaic_scalar_smem_accum.py), and no MXU precision
+contortions (ops/grad_mxu.py's Precision.HIGHEST 6-pass matmuls measured
+slower still).
 
 The face-dependent viewport term is built by broadcasting face corner
 columns against pixel rows, exactly like the dense forward kernel:
@@ -41,7 +43,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from . import backward, forward_pallas, grad_pallas
+from . import backward, forward_pallas, grad_tables
 
 TILE_H = int(_os.environ.get("DIRT_TPU_GRAD_DENSE_TILE_H", 32))
 TILE_W = int(_os.environ.get("DIRT_TPU_GRAD_DENSE_TILE_W", 128))
@@ -123,7 +125,8 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
             grad_vertices=jnp.zeros((batch, num_vertices, 4), jnp.float32),
             grad_vertex_colors=jnp.zeros(
                 (batch, num_vertices, channels), jnp.float32),
-            debug=jnp.zeros((batch, height, width), jnp.float32))
+            debug=backward.debug_image(
+                jnp.zeros((batch, height, width), bool), grad_pixels))
 
     # --- elementwise XLA pre-pass (Scharr, dilation, chain-rule factors) ---
     pre = backward.grad_prepass(pixels, grad_pixels, aux)
@@ -158,7 +161,7 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
     # Reuse the gradient packer (dilation-widened bboxes, hits-first order);
     # the dense kernel reads columns 4 (orig index) and 6-11 (corner x, y).
     face_data, counts, sorted_orig = jax.vmap(
-        functools.partial(grad_pallas._pack_grad_faces, height=height,
+        functools.partial(grad_tables._pack_grad_faces, height=height,
                           width=width, num_chunks=num_chunks, tiles_y=tiles_y,
                           tiles_x=tiles_x, chunk=CHUNK, tile_h=TILE_H,
                           tile_w=TILE_W))(vertices, faces)
@@ -172,7 +175,7 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
             pl.BlockSpec((1, 1, 1, 1, 1),
                          lambda b, t, c: (b, t, 0, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, CHUNK, grad_pallas._DF),
+            pl.BlockSpec((1, 1, 1, CHUNK, grad_tables._DF),
                          lambda b, t, c: (b, t, c, 0, 0),
                          memory_space=pltpu.VMEM),
             # Indexed per tile only: the chunk sweep (innermost grid dim)
@@ -209,6 +212,6 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
         jnp.zeros_like(summed[..., 0]), summed[..., 2],
     ], axis=-1)
     grad_vertex_colors = summed[..., 3:]
-    debug = jnp.where(pre.dilated, 1.e-2, 0.0)
+    debug = backward.debug_image(pre.dilated, grad_pixels)
     return backward.RasteriseGrads(
         pre.grad_background, grad_vertices, grad_vertex_colors, debug)

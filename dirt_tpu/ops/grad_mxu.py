@@ -1,6 +1,6 @@
 """MXU (matmul) Pallas TPU kernel for the gradient scatters.
 
-Same gradient semantics as ops/backward.py and ops/grad_pallas.py (the
+Same gradient semantics as ops/backward.py (the
 reference's assemble_grads kernel, csrc/rasterise_grad_egl.cu:93-236), with
 the per-face masked pixel reductions reformulated as ONE mask-matrix
 contraction per (image band, face chunk):
@@ -17,21 +17,30 @@ leaving 18 position planes (3 b*Ax, 3 b*Ay, 6 sym b_k b_m Px, 6 sym
 b_k b_m Py) and 3C colour planes (bpre_k * grad_pixels_c), all built in the
 XLA pre-pass at pixel count and combined at face count in the post-pass.
 
-This is the round-1 "MXU masked-sum" idea rebuilt with the two lessons the
-first attempt taught (git 85804cf..3af1966, measured 18 ms vs 13.7 ms):
+This is the round-1 "MXU masked-sum" idea rebuilt with the lessons of the
+first two attempts (git 85804cf..3af1966, measured 18 ms vs 13.7 ms):
 
   1. ONE dot_general per (band, chunk) contracting ALL band pixels
-     ([CHUNK, PIX] x [planes, PIX], PIX = BAND_H * padded width), instead of
-     a fori_loop of per-row [CHUNK, 128] matmuls whose accumulator carries
-     and dynamic row slices dominated the runtime.
+     ([2 * CHUNK, PIX] x [PIX, planes], PIX = BAND_H * padded width),
+     instead of a fori_loop of per-row [CHUNK, 128] matmuls whose
+     accumulator carries and dynamic row slices dominated the runtime.
   2. Bands (full-width row strips) instead of 2-D tiles, so the per-band
      pixel flattening is a free reshape in XLA (no transpose) and binning is
      a 1-D interval overlap.
-
-Masks are exact {0, 1} values and Precision.HIGHEST splits f32 operands
-exactly into bf16 triples, so the contraction is an exactly-rounded sum of
-the true per-pixel products -- the result differs from the scalar-reduction
-kernel only by summation order, like any other reduction strategy.
+  3. (round 3) NO Precision.HIGHEST: the round-2 variant's f32 contraction
+     cost 6 bf16 MXU passes because HIGHEST splits BOTH operands into bf16
+     triples -- but the mask operand is {0, 1}, EXACT in bf16, so only the
+     value planes need splitting.  The XLA pre-pass splits each f32 value
+     plane into a bf16 (hi, mid, lo) triple (hi + mid + lo == value to f32
+     accuracy) and packs the triples as extra COLUMNS of one rhs, the
+     position and colour planes share that rhs, and the two masks
+     (post-dilation for position sums, pre-dilation for colour sums) stack
+     as LHS ROWS [2 * CHUNK, PIX] -- so the whole reduction is ONE
+     single-pass bf16 matmul on a full 128-row MXU tile, followed by a
+     cheap three-column-group add.  Each product mask * v_part is exact
+     (mask is 0/1) and the MXU accumulates in f32, so the result differs
+     from the f32 reduction kernels only by summation order and the
+     ~2^-24-relative splitting residual.
 """
 
 import functools
@@ -108,31 +117,37 @@ def _pack_grad_bands(vertices, faces, height, width, num_chunks, num_bands):
     return face_ids, counts[:, None, None, None], sorted_orig
 
 
-def _grad_kernel(count_ref, fid_ref, ids_ref, vpos_ref, vcol_ref,
+def _grad_kernel(count_ref, fid_ref, ids_ref, val_ref,
                  pos_out, col_out, *, n_col):
     # grid: (batch, band, chunk); every (band, chunk) owns its output block
     # and carries no state, so all three grid dims are parallel.
     chunk_idx = pl.program_id(2)
     active = chunk_idx * CHUNK < count_ref[0, 0, 0, 0, 0]
+    ncols = _NPOS + n_col
 
     @pl.when(active)
     def _process():
         fid = fid_ref[0, 0, 0]                           # [CHUNK, 1]
-        mask_d = (ids_ref[0, 0, 0:1, :] == fid).astype(jnp.float32)
-        mask_p = (ids_ref[0, 0, 1:2, :] == fid).astype(jnp.float32)
-        # Plain NN matmuls ([CHUNK, PIX] @ [PIX, NP]): the value planes are
-        # packed pixel-major so the contraction dim sits on the canonical
-        # (lanes x sublanes) axes -- an NT dot contracting two lane dims
-        # measured ~100x slower through Mosaic.
+        # Masks are {0, 1}: EXACT in bf16, so the matmul needs no operand
+        # splitting on this side.  Stacking both masks as rows fills the
+        # 128-row MXU tile and shares the rhs fetch.
+        mask_d = (ids_ref[0, 0, 0:1, :] == fid).astype(jnp.bfloat16)
+        mask_p = (ids_ref[0, 0, 1:2, :] == fid).astype(jnp.bfloat16)
+        masks = jnp.concatenate([mask_d, mask_p], axis=0)  # [2K, PIX]
+        # Plain NN matmul ([2K, PIX] @ [PIX, 3 * ncols]): the value planes
+        # are packed pixel-major so the contraction dim sits on the
+        # canonical (lanes x sublanes) axes -- an NT dot contracting two
+        # lane dims measured ~100x slower through Mosaic.  Single bf16
+        # pass; the f32 value is recovered by summing the (hi, mid, lo)
+        # column groups, each accumulated in f32 by the MXU.
         dn = (((1,), (0,)), ((), ()))
-        pos_out[0, 0] = jax.lax.dot_general(
-            mask_d, vpos_ref[0, 0], dn,
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
-        col_out[0, 0] = jax.lax.dot_general(
-            mask_p, vcol_ref[0, 0], dn,
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
+        out = jax.lax.dot_general(
+            masks, val_ref[0, 0], dn,
+            preferred_element_type=jnp.float32)          # [2K, 3 * ncols]
+        total = (out[:, :ncols] + out[:, ncols:2 * ncols]
+                 + out[:, 2 * ncols:3 * ncols])
+        pos_out[0, 0] = total[:CHUNK, :_NPOS]
+        col_out[0, 0] = total[CHUNK:, _NPOS:]
 
     @pl.when(jnp.logical_not(active))
     def _skip():
@@ -166,7 +181,8 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
             grad_vertices=jnp.zeros((batch, num_vertices, 4), jnp.float32),
             grad_vertex_colors=jnp.zeros(
                 (batch, num_vertices, channels), jnp.float32),
-            debug=jnp.zeros((batch, height, width), jnp.float32))
+            debug=backward.debug_image(
+                jnp.zeros((batch, height, width), bool), grad_pixels))
 
     # --- elementwise XLA pre-pass: Scharr, dilation, value planes ---
     pre = backward.grad_prepass(pixels, grad_pixels, aux)
@@ -180,6 +196,18 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
         + [b[k] * b[m] * pre.py_t for k, m in _QPAIRS])
     col_planes = [pre.bary_pre[..., k] * grad_pixels[..., c]
                   for k in range(3) for c in range(channels)]
+
+    # bf16 (hi, mid, lo) split of every f32 value plane: hi + mid + lo
+    # reproduces the f32 value to ~2^-27 relative (each residual gains 8
+    # mantissa bits), so one bf16 matmul per group replaces the HIGHEST
+    # 3x3-pass contraction.  Masks need no split (exact in bf16).
+    value_planes = pos_planes + col_planes
+    hi = [p.astype(jnp.bfloat16) for p in value_planes]
+    res1 = [p - h.astype(jnp.float32) for p, h in zip(value_planes, hi)]
+    mid = [r.astype(jnp.bfloat16) for r in res1]
+    lo = [(r - m.astype(jnp.float32)).astype(jnp.bfloat16)
+          for r, m in zip(res1, mid)]
+    split_planes = hi + mid + lo                  # column groups, stride ncols
 
     num_chunks = max(1, _cdiv(
         forward_pallas.tile_face_cap(num_faces), CHUNK))
@@ -208,8 +236,7 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
     # Padded pixels must match no real face id (-2); padded value planes are
     # zero so any spurious match would contribute nothing anyway.
     ids_tab = to_bands_rowmajor(ids_planes, -2.0)
-    vpos_tab = to_bands_pixmajor(pos_planes)
-    vcol_tab = to_bands_pixmajor(col_planes)
+    val_tab = to_bands_pixmajor(split_planes)     # [B, bands, pix, 3*ncols]
 
     face_ids, counts, sorted_orig = jax.vmap(
         functools.partial(_pack_grad_bands, height=height, width=width,
@@ -231,10 +258,9 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
             pl.BlockSpec((1, 1, 2, pix),
                          lambda bt, t, c: (bt, t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, pix, _NPOS),
-                         lambda bt, t, c: (bt, t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, pix, n_col),
+            # Indexed per band only: the chunk sweep re-uses the resident
+            # block without a fresh DMA.
+            pl.BlockSpec((1, 1, pix, 3 * (_NPOS + n_col)),
                          lambda bt, t, c: (bt, t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -257,7 +283,7 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel")),
         interpret=interpret,
-    )(counts, face_ids, ids_tab, vpos_tab, vcol_tab)
+    )(counts, face_ids, ids_tab, val_tab)
 
     # --- XLA post-pass: face-dependent combination + tiny scatter ---
     rows_n = num_bands * num_chunks * CHUNK
@@ -303,6 +329,6 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
         jnp.zeros_like(summed[..., 0]), summed[..., 2],
     ], axis=-1)
     grad_vertex_colors = summed[..., 3:]
-    debug = jnp.where(pre.dilated, 1.e-2, 0.0)
+    debug = backward.debug_image(pre.dilated, grad_pixels)
     return backward.RasteriseGrads(
         pre.grad_background, grad_vertices, grad_vertex_colors, debug)

@@ -120,9 +120,18 @@ def test_rasterise_grad_debug_marks_dilated_pixels():
     vertices = np.concatenate([front, back])
     faces = np.array([[0, 1, 2], [0, 2, 3], [4, 5, 6], [4, 6, 7]], np.int32)
     colors = np.array([[1., 0., 0.]] * 4 + [[0., 1., 0.]] * 4, np.float32)
+    rng = np.random.RandomState(2)
+    grad_pixels = rng.randn(H, W, 3).astype(np.float32)
     grads, debug = dirt_tpu.rasterise_grad_debug(
         jnp.zeros((H, W, 3)), vertices, colors, faces,
-        jnp.ones((H, W, 3)))
+        jnp.asarray(grad_pixels))
     debug = np.asarray(debug)
-    assert (debug > 0).any(), "no dilation marked at an occlusion boundary"
+    assert debug.shape == (H, W, 3)
+    # Channel 0: dilation marker (1e-2 where dilated, 0 elsewhere).
+    assert (debug[..., 0] > 0).any(), "no dilation marked at a boundary"
+    assert set(np.unique(debug[..., 0])) <= {0.0, np.float32(1e-2)}
+    # Channels 1-2: echo of the incoming grad channels 1-2
+    # (rasterise_grad_egl.cu:150-151).
+    np.testing.assert_array_equal(debug[..., 1], grad_pixels[..., 1])
+    np.testing.assert_array_equal(debug[..., 2], grad_pixels[..., 2])
     assert grads.grad_vertices.shape == (8, 4)
