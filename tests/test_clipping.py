@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 import dirt_tpu
-from dirt_tpu.ops import backward, dispatch, grad_mxu, grad_pallas
+from dirt_tpu.ops import backward, dispatch, grad_mxu
 from dirt_tpu.utils import oracle
 
 
@@ -132,7 +132,7 @@ def test_gradients_finite_and_kernels_agree_on_crossing_scene():
     g_xla = backward.rasterise_grad_batch(v_j, f_j, pixels, gp, aux,
                                           implementation="xla")
     from dirt_tpu.ops import grad_blocks, grad_dense
-    for kernel in (grad_pallas, grad_mxu, grad_dense, grad_blocks):
+    for kernel in (grad_mxu, grad_dense, grad_blocks):
         g_k = kernel.rasterise_grad_batch(v_j, f_j, pixels, gp, aux,
                                           interpret=True)
         for name in ("grad_background", "grad_vertices",

@@ -1,4 +1,4 @@
-"""Pallas gradient kernels (scalar-reduction, chunk-dense, MXU) vs XLA.
+"""Pallas gradient kernels (chunk-dense, block-binned, MXU) vs XLA.
 
 All implement the same analytic gradient assembly; they may differ only by
 floating-point summation order (per-tile reductions / mask-matrix
@@ -9,10 +9,10 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from dirt_tpu.ops import backward, dispatch, grad_dense, grad_mxu, grad_pallas
+from dirt_tpu.ops import backward, dispatch, grad_dense, grad_mxu
 from dirt_tpu.utils import meshes
 
-KERNELS = [grad_pallas, grad_dense, grad_mxu]
+KERNELS = [grad_dense, grad_mxu]
 
 
 def _compare(vertices, faces, colors, background, grad_pixels,
@@ -72,7 +72,6 @@ def test_random_soup_grads_match(channels):
 
 
 def test_many_faces_multiple_chunks_grads_match(monkeypatch):
-    monkeypatch.setattr(grad_pallas, "CHUNK", 64)
     monkeypatch.setattr(grad_mxu, "CHUNK", 64)
     monkeypatch.setattr(grad_dense, "CHUNK", 32)
     rng = np.random.RandomState(11)
@@ -91,12 +90,12 @@ def test_many_faces_multiple_chunks_grads_match(monkeypatch):
              jnp.asarray(bg), jnp.asarray(gp))
 
 
-def test_deferred_path_with_pallas_grads(monkeypatch):
-    # End-to-end deferred shading with the face-major gradient kernel
+def test_deferred_path_with_dense_grads(monkeypatch):
+    # End-to-end deferred shading with the production dense gradient kernel
     # (interpret mode on CPU) selected via the env knob.
     import jax
     import dirt_tpu
-    monkeypatch.setenv("DIRT_TPU_GRAD_BACKEND", "pallas")
+    monkeypatch.setenv("DIRT_TPU_GRAD_BACKEND", "dense")
     rng = np.random.RandomState(0)
     verts, faces, front, back = meshes.two_squares()
     attrs = jnp.asarray(rng.uniform(size=(8, 3)).astype(np.float32))
@@ -107,10 +106,10 @@ def test_deferred_path_with_pallas_grads(monkeypatch):
         return jnp.sum(dirt_tpu.rasterise_deferred(
             bg, jnp.asarray(verts), a, jnp.asarray(faces), shader_fn=shader))
 
-    g_pallas = np.asarray(jax.grad(loss)(attrs))
+    g_dense = np.asarray(jax.grad(loss)(attrs))
     monkeypatch.setenv("DIRT_TPU_GRAD_BACKEND", "xla")
     g_xla = np.asarray(jax.grad(loss)(attrs))
-    np.testing.assert_allclose(g_pallas, g_xla, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(g_dense, g_xla, rtol=1e-4, atol=1e-5)
 
 
 def test_blocks_grads_match_xla(monkeypatch):

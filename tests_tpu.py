@@ -7,13 +7,14 @@ process, small shapes, persistent compile cache, asserting checks for
 
   1. square exactness (pallas + dense backends vs the analytic formula),
   2. random-soup visibility parity across all four backends + native oracle,
-  3. gradient-kernel parity (chunk-dense, mxu) vs XLA + the scalar
-     kernel's compiled-mode fence (it miscompiles on device),
+  3. gradient-kernel parity (chunk-dense, mxu) vs XLA,
   4. camera-plane-crossing scenes (clipping semantics) across backends,
   5. deferred shading end-to-end (loss decreases over a short fit),
   6. closure-constant regression (jit-captured scenes match all-args),
   7. block-binned (CSR) kernel parity, forward and gradient,
-  8. textured renderer gradients (texture-sampling gathers).
+  8. textured renderer gradients vs the CPU backend (texture gathers),
+  9. the Mosaic scalar-SMEM miscompile repro harness (reports whether the
+     compiler bug that killed the deleted round-1 scalar kernel persists).
 
 Run from the repo root with the TPU env untouched:  python tests_tpu.py
 """
@@ -30,7 +31,7 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import dirt_tpu
-from dirt_tpu.ops import backward, dispatch, grad_dense, grad_mxu, grad_pallas
+from dirt_tpu.ops import backward, dispatch, grad_dense, grad_mxu
 from dirt_tpu.utils import meshes, oracle
 
 FAILURES = []
@@ -108,15 +109,9 @@ def grad_parity():
         b, vv, cc, ff, "pallas"))(bg, v, c, f)
     g_xla = jax.jit(lambda vv, ff, pp, gg: backward.rasterise_grad_batch(
         vv, ff, pp, gg, aux, implementation="xla"))(v, f, px, gp)
-    # The scalar kernel (grad_pallas) is fenced off compiled: it miscompiles
-    # on real TPUs (wrong gradients even single-chunk multi-tile) and must
-    # refuse to run rather than return garbage.
-    try:
-        jax.jit(lambda vv, ff, pp, gg: grad_pallas.rasterise_grad_batch(
-            vv, ff, pp, gg, aux, interpret=False))(v, f, px, gp)
-        raise AssertionError("grad_pallas compiled should have raised")
-    except NotImplementedError:
-        pass
+    # (The round-1 face-major scalar kernel Mosaic miscompiled on device was
+    # deleted in round 3; repro/mosaic_scalar_smem_accum.py isolates the
+    # compiler bug and is exercised by the mosaic_repro check below.)
     for kernel, label in ((grad_dense, "dense"), (grad_mxu, "mxu")):
         g_k = jax.jit(lambda vv, ff, pp, gg, _k=kernel:
                       _k.rasterise_grad_batch(vv, ff, pp, gg, aux,
@@ -128,6 +123,21 @@ def grad_parity():
             scale = max(np.abs(a).max(), 1.0)
             err = np.abs(a / scale - b / scale).max()
             assert err < 1e-5, f"{label} {name}: rel err {err:.2e}"
+    # Multi-chunk mxu on device: the regime where the deleted scalar kernel
+    # miscompiled.  Shrinking CHUNK makes the 40-face scene span 3 chunks.
+    saved_chunk = grad_mxu.CHUNK
+    grad_mxu.CHUNK = 16
+    try:
+        g_k = jax.jit(lambda vv, ff, pp, gg: grad_mxu.rasterise_grad_batch(
+            vv, ff, pp, gg, aux, interpret=False))(v, f, px, gp)
+        for name in ("grad_vertices", "grad_vertex_colors"):
+            a = np.asarray(getattr(g_xla, name))
+            b = np.asarray(getattr(g_k, name))
+            scale = max(np.abs(a).max(), 1.0)
+            err = np.abs(a / scale - b / scale).max()
+            assert err < 1e-5, f"mxu multi-chunk {name}: rel err {err:.2e}"
+    finally:
+        grad_mxu.CHUNK = saved_chunk
 
 
 def crossing_scene():
@@ -238,11 +248,58 @@ def blocks_backend_parity():
         assert err < 1e-5, f"blocks {name}: rel err {err:.2e}"
 
 
+_TEXTURED_GRAD_SNIPPET = """
+import numpy as np
+import jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", "/tmp/dirt_tpu_jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+from dirt_tpu.models import TexturedRenderer
+from dirt_tpu.utils import meshes
+
+rng = np.random.RandomState(0)
+v, f = meshes.build_cube()
+uvs = jnp.asarray(rng.uniform(size=(8, 2)).astype(np.float32))
+texture = jnp.asarray(rng.uniform(size=(32, 32, 3)).astype(np.float32))
+model = TexturedRenderer(width=64, height=48)
+light = jnp.asarray([1., -0.3, -0.5])
+light = light / jnp.linalg.norm(light)
+
+def loss(tex, vv, ff, uu, ll):
+    return jnp.sum(model.render(
+        vv, ff, uu, tex, jnp.asarray([0.2, 0.7, 0.]), ll))
+
+g = jax.jit(jax.grad(loss))(
+    texture, jnp.asarray(v), jnp.asarray(f), uvs, light)
+np.save(OUT_PATH, np.asarray(g))
+"""
+
+
+def _textured_grad_cpu():
+    """Computes the texture gradient on the CPU backend in a subprocess
+    (the live process's platform is fixed at first jax use) and returns it."""
+    import os
+    import subprocess
+    import tempfile
+    out_path = tempfile.mktemp(suffix=".npy", prefix="dirt_tpu_texgrad_")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""     # skip the TPU-relay handshake
+    snippet = f"OUT_PATH = {out_path!r}\n" + _TEXTURED_GRAD_SNIPPET
+    subprocess.run([sys.executable, "-c", snippet], env=env, check=True,
+                   cwd=os.path.dirname(os.path.abspath(__file__)),
+                   timeout=900)
+    g = np.load(out_path)
+    os.unlink(out_path)
+    return g
+
+
 def textured_model():
     # TexturedRenderer end-to-end compiled on device: the deferred path plus
     # per-pixel texture-sampling GATHERS (a codepath the raster kernels never
     # exercise).  Texture gradients must be finite, non-trivial, and match
-    # the CPU interpreter values.
+    # the values the same program computes on the CPU backend (computed in a
+    # CPU subprocess, since this process's platform is pinned to the TPU).
     from dirt_tpu.models import TexturedRenderer
 
     rng = np.random.RandomState(0)
@@ -262,6 +319,31 @@ def textured_model():
     g = np.asarray(g)
     assert np.isfinite(g).all()
     assert np.abs(g).sum() > 0.01
+    g_cpu = _textured_grad_cpu()
+    # FMA contraction differs between the TPU and CPU compilers; the values
+    # must agree to rounding, not bit-exactly.
+    scale = max(np.abs(g_cpu).max(), 1.0)
+    err = np.abs(g / scale - g_cpu / scale).max()
+    assert err < 1e-5, f"texture grads vs CPU: rel err {err:.2e}"
+
+
+def mosaic_repro():
+    # The minimised Mosaic scalar-SMEM-accumulation repro
+    # (repro/mosaic_scalar_smem_accum.py).  The interpreter path must match
+    # numpy (harness sanity); the compiled path's outcome is REPORTED, not
+    # asserted -- on the stack where the production kernel was deleted the
+    # bug reproduces, and a future toolchain may fix it.
+    sys.path.insert(0, "repro")
+    import mosaic_scalar_smem_accum as repro
+
+    got_c, planes, ids = repro.run(interpret=False)
+    got_i, _, _ = repro.run(interpret=True)
+    want = repro.reference(planes, ids)
+    assert np.abs(got_i - want).max() < 1e-3, "repro harness broken"
+    err_c = np.abs(got_c - want).max()
+    status = ("NOT PRESENT on this stack" if np.isfinite(got_c).all()
+              and err_c < 1e-3 else f"REPRODUCES (max err {err_c:.3e})")
+    print(f"  mosaic scalar-SMEM miscompile: {status}", flush=True)
 
 
 def main():
@@ -275,6 +357,7 @@ def main():
           closure_constant_regression)
     check("block-binned kernels parity (fwd + grad)", blocks_backend_parity)
     check("textured renderer grads on device", textured_model)
+    check("mosaic miscompile repro harness", mosaic_repro)
     if FAILURES:
         print("FAILED:", FAILURES, flush=True)
         return 1
