@@ -43,8 +43,13 @@ def rasterise_batch_sharded(mesh, background, vertices, vertex_colors, faces,
     """
     spec = P(axis_name)
 
+    # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
+    # annotation, so the VMA type check rejects any Pallas kernel under
+    # shard_map.  Everything here is batch-sharded with no collectives in
+    # the forward, so there is nothing for the check to catch; gradient
+    # collectives (psum) are inserted by autodiff outside this wrapper.
     @functools.partial(
-        jax.shard_map, mesh=mesh,
+        jax.shard_map, mesh=mesh, check_vma=False,
         in_specs=(spec, spec, spec, spec), out_specs=spec)
     def _render(bg, v, c, f):
         return rasterise_ops.rasterise_batch(bg, v, c, f, backend=backend)
@@ -81,8 +86,11 @@ def data_parallel_fit_step(mesh, render_fn, params, targets, learning_rate,
     num = mesh.devices.size
     shard = targets.shape[0] // num
 
+    # check_vma=False: same reason as rasterise_batch_sharded -- render_fn
+    # may run Pallas kernels, whose out_shapes carry no VMA annotation.
+    # The psum over the batch axis below is explicit, not checker-inferred.
     @functools.partial(
-        jax.shard_map, mesh=mesh,
+        jax.shard_map, mesh=mesh, check_vma=False,
         in_specs=(P(), P(axis_name)), out_specs=(P(), P()))
     def _step(p, local_targets):
         def loss_fn(q):

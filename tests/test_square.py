@@ -36,7 +36,7 @@ def square_scene():
     return square_vertices, np.array([[0, 1, 2], [0, 2, 3]], np.int32)
 
 
-@pytest.mark.parametrize("backend", ["reference", "pallas"])
+@pytest.mark.parametrize("backend", ["reference", "pallas", "dense", "blocks"])
 def test_square_pixels_exact(backend):
     vertices, faces = square_scene()
     pixels = dirt_tpu.rasterise(
