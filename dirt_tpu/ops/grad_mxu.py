@@ -32,15 +32,17 @@ first two attempts (git 85804cf..3af1966, measured 18 ms vs 13.7 ms):
      triples -- but the mask operand is {0, 1}, EXACT in bf16, so only the
      value planes need splitting.  The XLA pre-pass splits each f32 value
      plane into a bf16 (hi, mid, lo) triple (hi + mid + lo == value to f32
-     accuracy) and packs the triples as extra COLUMNS of one rhs, the
-     position and colour planes share that rhs, and the two masks
-     (post-dilation for position sums, pre-dilation for colour sums) stack
-     as LHS ROWS [2 * CHUNK, PIX] -- so the whole reduction is ONE
-     single-pass bf16 matmul on a full 128-row MXU tile, followed by a
-     cheap three-column-group add.  Each product mask * v_part is exact
-     (mask is 0/1) and the MXU accumulates in f32, so the result differs
-     from the f32 reduction kernels only by summation order and the
-     ~2^-24-relative splitting residual.
+     accuracy); the position and colour planes share one rhs per group,
+     the groups ride an untiled leading axis of a single resident block
+     (lane-offset column groups miscompiled on device: Mosaic dropped the
+     offset slices of the product, leaving hi-only results), and the two
+     masks (post-dilation for position sums, pre-dilation for colour sums)
+     stack as LHS ROWS [2 * CHUNK, PIX].  The reduction is three
+     single-pass bf16 matmuls accumulated in f32; each product
+     mask * v_part is exact (mask is 0/1), so the result differs from the
+     f32 reduction kernels only by summation order and the ~2^-24-relative
+     splitting residual.  The pos/col quadrant split happens in XLA after
+     the kernel (no in-kernel lane-offset slicing anywhere).
 """
 
 import functools
@@ -117,8 +119,7 @@ def _pack_grad_bands(vertices, faces, height, width, num_chunks, num_bands):
     return face_ids, counts[:, None, None, None], sorted_orig
 
 
-def _grad_kernel(count_ref, fid_ref, ids_ref, val_ref,
-                 pos_out, col_out, *, n_col):
+def _grad_kernel(count_ref, fid_ref, ids_ref, val_ref, out_ref, *, n_col):
     # grid: (batch, band, chunk); every (band, chunk) owns its output block
     # and carries no state, so all three grid dims are parallel.
     chunk_idx = pl.program_id(2)
@@ -134,25 +135,28 @@ def _grad_kernel(count_ref, fid_ref, ids_ref, val_ref,
         mask_d = (ids_ref[0, 0, 0:1, :] == fid).astype(jnp.bfloat16)
         mask_p = (ids_ref[0, 0, 1:2, :] == fid).astype(jnp.bfloat16)
         masks = jnp.concatenate([mask_d, mask_p], axis=0)  # [2K, PIX]
-        # Plain NN matmul ([2K, PIX] @ [PIX, 3 * ncols]): the value planes
-        # are packed pixel-major so the contraction dim sits on the
-        # canonical (lanes x sublanes) axes -- an NT dot contracting two
-        # lane dims measured ~100x slower through Mosaic.  Single bf16
-        # pass; the f32 value is recovered by summing the (hi, mid, lo)
-        # column groups, each accumulated in f32 by the MXU.
+        # Plain NN matmuls ([2K, PIX] @ [PIX, ncols]): the value planes are
+        # packed pixel-major so the contraction dim sits on the canonical
+        # (lanes x sublanes) axes -- an NT dot contracting two lane dims
+        # measured ~100x slower through Mosaic.  One bf16 pass per split
+        # group, f32 MXU accumulation, groups indexed on the UNTILED
+        # leading axis (a first version packed the groups as extra rhs
+        # columns and summed with lane-offset slices of the product --
+        # Mosaic silently dropped the offset groups on device, leaving
+        # hi-only 2^-9-relative results while interpret mode was exact).
         dn = (((1,), (0,)), ((), ()))
-        out = jax.lax.dot_general(
-            masks, val_ref[0, 0], dn,
-            preferred_element_type=jnp.float32)          # [2K, 3 * ncols]
-        total = (out[:, :ncols] + out[:, ncols:2 * ncols]
-                 + out[:, 2 * ncols:3 * ncols])
-        pos_out[0, 0] = total[:CHUNK, :_NPOS]
-        col_out[0, 0] = total[CHUNK:, _NPOS:]
+        total = jax.lax.dot_general(
+            masks, val_ref[0, 0, 0], dn,
+            preferred_element_type=jnp.float32)          # [2K, ncols]
+        for g in (1, 2):
+            total = total + jax.lax.dot_general(
+                masks, val_ref[0, 0, g], dn,
+                preferred_element_type=jnp.float32)
+        out_ref[0, 0] = total
 
     @pl.when(jnp.logical_not(active))
     def _skip():
-        pos_out[0, 0] = jnp.zeros((CHUNK, _NPOS), jnp.float32)
-        col_out[0, 0] = jnp.zeros((CHUNK, n_col), jnp.float32)
+        out_ref[0, 0] = jnp.zeros((2 * CHUNK, ncols), jnp.float32)
 
 
 def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
@@ -201,13 +205,19 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
     # reproduces the f32 value to ~2^-27 relative (each residual gains 8
     # mantissa bits), so one bf16 matmul per group replaces the HIGHEST
     # 3x3-pass contraction.  Masks need no split (exact in bf16).
+    # optimization_barrier on every rounded part: XLA's algebraic
+    # simplifier otherwise cancels `p - f32(bf16(p))` to zero through the
+    # convert pair (measured on device: mid/lo arrived as zeros, leaving
+    # exactly 2^-9-relative hi-only results while interpret mode was
+    # exact).  The barrier makes each rounding step opaque.
     value_planes = pos_planes + col_planes
-    hi = [p.astype(jnp.bfloat16) for p in value_planes]
+    barrier = lambda parts: list(jax.lax.optimization_barrier(tuple(parts)))
+    hi = barrier([p.astype(jnp.bfloat16) for p in value_planes])
     res1 = [p - h.astype(jnp.float32) for p, h in zip(value_planes, hi)]
-    mid = [r.astype(jnp.bfloat16) for r in res1]
-    lo = [(r - m.astype(jnp.float32)).astype(jnp.bfloat16)
-          for r, m in zip(res1, mid)]
-    split_planes = hi + mid + lo                  # column groups, stride ncols
+    mid = barrier([r.astype(jnp.bfloat16) for r in res1])
+    lo = barrier([(r - m.astype(jnp.float32)).astype(jnp.bfloat16)
+                  for r, m in zip(res1, mid)])
+    split_groups = (hi, mid, lo)
 
     num_chunks = max(1, _cdiv(
         forward_pallas.tile_face_cap(num_faces), CHUNK))
@@ -236,7 +246,9 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
     # Padded pixels must match no real face id (-2); padded value planes are
     # zero so any spurious match would contribute nothing anyway.
     ids_tab = to_bands_rowmajor(ids_planes, -2.0)
-    val_tab = to_bands_pixmajor(split_planes)     # [B, bands, pix, 3*ncols]
+    # [B, bands, 3, pix, ncols]: split groups on an untiled leading axis.
+    val_tab = jnp.stack([to_bands_pixmajor(list(g)) for g in split_groups],
+                        axis=2)
 
     face_ids, counts, sorted_orig = jax.vmap(
         functools.partial(_pack_grad_bands, height=height, width=width,
@@ -245,7 +257,8 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
 
     kernel = functools.partial(_grad_kernel, n_col=n_col)
 
-    sums_pos, sums_col = pl.pallas_call(
+    ncols = _NPOS + n_col
+    sums = pl.pallas_call(
         kernel,
         grid=(batch, num_bands, num_chunks),
         in_specs=[
@@ -260,35 +273,28 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
                          memory_space=pltpu.VMEM),
             # Indexed per band only: the chunk sweep re-uses the resident
             # block without a fresh DMA.
-            pl.BlockSpec((1, 1, pix, 3 * (_NPOS + n_col)),
-                         lambda bt, t, c: (bt, t, 0, 0),
+            pl.BlockSpec((1, 1, 3, pix, ncols),
+                         lambda bt, t, c: (bt, t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, 1, CHUNK, _NPOS),
-                         lambda bt, t, c: (bt, t * pl.num_programs(2) + c,
-                                           0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, CHUNK, n_col),
-                         lambda bt, t, c: (bt, t * pl.num_programs(2) + c,
-                                           0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct(
-                (batch, num_bands * num_chunks, CHUNK, _NPOS), jnp.float32),
-            jax.ShapeDtypeStruct(
-                (batch, num_bands * num_chunks, CHUNK, n_col), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((1, 1, 2 * CHUNK, ncols),
+                               lambda bt, t, c:
+                               (bt, t * pl.num_programs(2) + c, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (batch, num_bands * num_chunks, 2 * CHUNK, ncols), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel")),
         interpret=interpret,
     )(counts, face_ids, ids_tab, val_tab)
 
-    # --- XLA post-pass: face-dependent combination + tiny scatter ---
+    # --- XLA post-pass: quadrant split (post-dilation mask rows pair with
+    # the position columns, pre-dilation rows with the colour columns; the
+    # cross quadrants are MXU padding waste), then face-dependent
+    # combination + tiny scatter ---
     rows_n = num_bands * num_chunks * CHUNK
-    sums_pos = sums_pos.reshape(batch, rows_n, _NPOS)
-    sums_col = sums_col.reshape(batch, rows_n, 3, channels)
+    sums_pos = sums[:, :, :CHUNK, :_NPOS].reshape(batch, rows_n, _NPOS)
+    sums_col = sums[:, :, CHUNK:, _NPOS:].reshape(batch, rows_n, 3, channels)
     orig = sorted_orig.reshape(batch, rows_n)
 
     corner_vids = jnp.take_along_axis(faces, orig[..., None], axis=1)

@@ -269,8 +269,9 @@ def loss(tex, vv, ff, uu, ll):
     return jnp.sum(model.render(
         vv, ff, uu, tex, jnp.asarray([0.2, 0.7, 0.]), ll))
 
-g = jax.jit(jax.grad(loss))(
-    texture, jnp.asarray(v), jnp.asarray(f), uvs, light)
+with jax.default_matmul_precision("highest"):
+    g = jax.jit(jax.grad(loss))(
+        texture, jnp.asarray(v), jnp.asarray(f), uvs, light)
 np.save(OUT_PATH, np.asarray(g))
 """
 
@@ -314,8 +315,14 @@ def textured_model():
         return jnp.sum(model.render(
             vv, ff, uu, tex, jnp.asarray([0.2, 0.7, 0.]), ll))
 
-    g = jax.jit(jax.grad(loss))(
-        texture, jnp.asarray(v), jnp.asarray(f), uvs, light)
+    # Pin matmul precision on BOTH sides: the scene-math matmuls
+    # (world @ view @ projection) otherwise run at the TPU's default bf16
+    # MXU precision, moving clip coordinates (and hence G-buffer UVs) by
+    # ~1e-3 relative vs CPU -- measured 6.8e-2 texture-grad divergence with
+    # ZERO winner flips.  At "highest" the same comparison lands at 3e-6.
+    with jax.default_matmul_precision("highest"):
+        g = jax.jit(jax.grad(loss))(
+            texture, jnp.asarray(v), jnp.asarray(f), uvs, light)
     g = np.asarray(g)
     assert np.isfinite(g).all()
     assert np.abs(g).sum() > 0.01
