@@ -40,6 +40,15 @@ def _load():
         fn = getattr(lib, name)
         fn.restype = None
         fn.argtypes = argtypes
+    vis64 = lib.dirt_oracle_visibility_f64
+    vis64.restype = None
+    vis64.argtypes = [
+        ctypes.POINTER(ctypes.c_float),   # vertices
+        ctypes.POINTER(ctypes.c_int32),   # faces
+        ctypes.c_int32, ctypes.c_int32,   # V, F
+        ctypes.c_int32, ctypes.c_int32,   # H, W
+        ctypes.POINTER(ctypes.c_int32),   # out face index
+    ]
     _lib = lib
     return lib
 
@@ -67,6 +76,30 @@ def rasterise(background, vertices, vertex_colors, faces):
         np.int32(height), np.int32(width), np.int32(channels),
         fptr(pixels), iptr(face_index))
     return pixels, face_index
+
+
+def visibility_f64(vertices, faces, height, width):
+    """Winner map with all visibility arithmetic in double precision.
+
+    The adjudicator for near-tie winner disagreements between f32 backends
+    (sub-pixel face densities where edge-function cancellation makes the
+    pick implementation-sensitive): f32 inputs promote exactly to f64 and
+    24-bit products are exact there, so this map reflects the true
+    geometry.  Not a bit-parity target for f32 backends.
+
+    Returns face_index [H, W] int32 (-1 background).
+    """
+    lib = _load()
+    vertices = np.ascontiguousarray(vertices, np.float32)
+    faces = np.ascontiguousarray(faces, np.int32)
+    face_index = np.empty((height, width), np.int32)
+    lib.dirt_oracle_visibility_f64(
+        vertices.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        np.int32(vertices.shape[0]), np.int32(faces.shape[0]),
+        np.int32(height), np.int32(width),
+        face_index.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return face_index
 
 
 def rasterise_clipped(background, vertices, vertex_colors, faces):

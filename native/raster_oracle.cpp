@@ -167,6 +167,87 @@ void dirt_oracle_rasterise(const float* background, const float* vertices,
   delete[] depth;
 }
 
+// Compensated-visibility adjudicator: the same fragment semantics as
+// dirt_oracle_rasterise, with EVERY arithmetic step (cross products, edge
+// functions, S_z / S_w, the depth compare) carried in double precision.
+// f32 inputs promote exactly, and products of 24-bit significands are exact
+// in f64, so near-tie winner picks that are implementation-sensitive in f32
+// (sub-pixel faces, edge-function cancellation -- the 65,536-face sweep
+// regime) resolve here by the true geometry.  This is an ADJUDICATOR, not a
+// parity target: f32 backends can legitimately differ from it by one
+// rounding at exact ties.  Writes only the winner map.
+void dirt_oracle_visibility_f64(const float* vertices, const int32_t* faces,
+                                int32_t num_vertices, int32_t num_faces,
+                                int32_t height, int32_t width,
+                                int32_t* out_index) {
+  (void)num_vertices;
+  const int64_t pixel_count = static_cast<int64_t>(height) * width;
+  double* depth = new double[pixel_count];
+  for (int64_t i = 0; i < pixel_count; ++i) {
+    depth[i] = 1.0;
+    out_index[i] = -1;
+  }
+
+  for (int32_t f = 0; f < num_faces; ++f) {
+    double q[3][3], zc[3], wc[3];
+    for (int k = 0; k < 3; ++k) {
+      const float* p = vertices + static_cast<int64_t>(faces[f * 3 + k]) * 4;
+      q[k][0] = p[0];
+      q[k][1] = p[1];
+      q[k][2] = p[3];
+      zc[k] = p[2];
+      wc[k] = p[3];
+    }
+    double coeff[3][3];
+    const int ia[3] = {1, 2, 0};
+    const int ib[3] = {2, 0, 1};
+    for (int k = 0; k < 3; ++k) {
+      const double* u = q[ia[k]];
+      const double* v = q[ib[k]];
+      coeff[k][0] = u[1] * v[2] - u[2] * v[1];
+      coeff[k][1] = u[2] * v[0] - u[0] * v[2];
+      coeff[k][2] = u[0] * v[1] - u[1] * v[0];
+    }
+    bool accept[3];
+    for (int k = 0; k < 3; ++k) {
+      accept[k] = (coeff[k][0] > 0.0) ||
+                  (coeff[k][0] == 0.0 && coeff[k][1] > 0.0);
+    }
+    const double det =
+        q[0][0] * coeff[0][0] + q[0][1] * coeff[0][1] + q[0][2] * coeff[0][2];
+    if (det == 0.0) continue;
+
+    for (int32_t r = 0; r < height; ++r) {
+      const double y = 1.0 - (2.0 * (r + 0.5)) / height;
+      for (int32_t col = 0; col < width; ++col) {
+        const double x = (2.0 * (col + 0.5)) / width - 1.0;
+        double E[3];
+        for (int k = 0; k < 3; ++k) {
+          E[k] = coeff[k][0] * x + coeff[k][1] * y + coeff[k][2];
+        }
+        bool in_p = true, in_n = true;
+        for (int k = 0; k < 3; ++k) {
+          in_p = in_p && ((E[k] > 0.0) || (E[k] == 0.0 && accept[k]));
+          in_n = in_n && ((E[k] < 0.0) || (E[k] == 0.0 && !accept[k]));
+        }
+        const double s_w = E[0] * wc[0] + E[1] * wc[1] + E[2] * wc[2];
+        const double s_z = E[0] * zc[0] + E[1] * zc[1] + E[2] * zc[2];
+        const bool cov_p = in_p && s_w > 0.0 && s_z >= -s_w && s_z <= s_w;
+        const bool cov_n = in_n && s_w < 0.0 && s_z <= -s_w && s_z >= s_w;
+        if (!(cov_p || cov_n)) continue;
+        const double d = s_z / s_w;
+        const int64_t idx = static_cast<int64_t>(r) * width + col;
+        if (d < depth[idx] ||
+            (d == depth[idx] && out_index[idx] >= 0 && f < out_index[idx])) {
+          depth[idx] = d;
+          out_index[idx] = f;
+        }
+      }
+    }
+  }
+  delete[] depth;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

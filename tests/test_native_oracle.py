@@ -82,3 +82,18 @@ def test_oracle_occlusion_scene():
     # Interior must be solid red in both.
     assert (expected_pixels[12:20, 12:20, 0] == 1).all()
     np.testing.assert_array_equal(got, expected_pixels)
+
+
+def test_visibility_f64_agrees_on_well_conditioned_scenes():
+    # The double-precision adjudicator (near-tie winner arbitration for the
+    # sub-pixel-face regime) must agree with the f32 oracle and the
+    # reference backend everywhere the winner pick is well-conditioned --
+    # i.e. on ordinary random scenes, where f32 rounding never flips a
+    # depth comparison.
+    bg, verts, colors, faces = _random_scene(23)
+    _, idx_f32 = oracle.rasterise(bg, verts, colors, faces)
+    idx_f64 = oracle.visibility_f64(verts, faces, bg.shape[0], bg.shape[1])
+    np.testing.assert_array_equal(idx_f32, idx_f64)
+    _, aux = dispatch.forward_batch(
+        bg[None], verts[None], colors[None], faces[None], backend="reference")
+    np.testing.assert_array_equal(np.asarray(aux.face_index[0]), idx_f64)
