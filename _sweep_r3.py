@@ -137,21 +137,30 @@ def main():
                 setattr(forward_dense, k, v)
 
     # --- gradient backends ---
-    bwd_variant("dense t32x128 c64 (prod)", "dense")
-    bwd_variant("mxu band16 c128 (split)", "mxu")
+    # The round-3 device sweep measured ~2 us fixed cost per grid step
+    # (shrinking tiles made everything slower), motivating the FUSED
+    # schedules (in-kernel chunk loop, grid (batch, tiles)).
+    bwd_variant("dense fused t32x128 c64", "dense")
+    bwd_variant("dense chunk-grid t32x128 c64", "dense", grad_dense,
+                FUSED=False)
     if not quick:
-        bwd_variant("mxu band8 c128", "mxu", grad_mxu, BAND_H=8)
-        bwd_variant("mxu band32 c128", "mxu", grad_mxu, BAND_H=32)
-        bwd_variant("mxu band16 c256", "mxu", grad_mxu, CHUNK=256)
-        bwd_variant("dense t32x256 c64", "dense", grad_dense, TILE_W=256)
-        bwd_variant("dense t32x128 c128", "dense", grad_dense, CHUNK=128)
+        bwd_variant("dense fused t16x128 c64", "dense", grad_dense,
+                    TILE_H=16)
+        bwd_variant("dense fused t16x128 c32", "dense", grad_dense,
+                    TILE_H=16, CHUNK=32)
+        bwd_variant("dense fused t8x128 c32", "dense", grad_dense,
+                    TILE_H=8, CHUNK=32)
+        bwd_variant("dense fused t32x128 c32", "dense", grad_dense,
+                    CHUNK=32)
 
     # --- forward variants ---
-    fwd_variant("dense t32x128 c64 (prod)")
+    fwd_variant("dense fused t32x128 c64")
+    fwd_variant("dense chunk-grid t32x128 c64", FUSED=False)
     if not quick:
-        fwd_variant("dense t32x256 c64", TILE_W=256)
-        fwd_variant("dense t64x128 c64", TILE_H=64)
-        fwd_variant("dense t32x128 c128", CHUNK=128)
+        fwd_variant("dense fused t16x128 c64", TILE_H=16)
+        fwd_variant("dense fused t16x128 c32", TILE_H=16, CHUNK=32)
+        fwd_variant("dense fused t8x128 c32", TILE_H=8, CHUNK=32)
+        fwd_variant("dense fused t32x128 c32", CHUNK=32)
     print("done", flush=True)
 
 

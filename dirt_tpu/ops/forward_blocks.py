@@ -159,78 +159,23 @@ def _raster_kernel(slot_tile_ref, slot_block_ref, slot_dma_ref,
 
     @pl.when(first)
     def _init():
-        # glClearDepth(1.0) equivalent; orig -1 marks background.
-        zeros = jnp.zeros((channels + 7, pix), jnp.float32)
-        depth = jnp.full((1, pix), 1.0, jnp.float32)
-        orig = jnp.full((1, pix), -1.0, jnp.float32)
-        state_ref[0] = jnp.concatenate([zeros, depth, orig], axis=0)
+        state_ref[0] = forward_dense.init_state(channels, pix)
 
     @pl.when(slot_block_ref[s] >= 0)
     def _process():
-        p = jax.lax.broadcasted_iota(jnp.int32, (1, pix), 1)
-        rows = p // TILE_W
-        cols = p - rows * TILE_W
-        # Pixel-centre NDC, identical expression to geometry.pixel_centre_ndc.
-        xg = (((tile_col + cols).astype(jnp.float32) + 0.5)
-              * (2.0 / width) - 1.0)
-        yg = (1.0 - ((tile_row + rows).astype(jnp.float32) + 0.5)
-              * (2.0 / height))
+        xg, yg = forward_dense.pixel_ndc(tile_row, tile_col, height, width,
+                                         pix, TILE_W)
 
         def col(i):
             return face_ref[0, :, i:i + 1]                  # [CHUNK, 1]
 
-        E0 = col(0) * xg + col(1) * yg + col(2)
-        E1 = col(3) * xg + col(4) * yg + col(5)
-        E2 = col(6) * xg + col(7) * yg + col(8)
-
-        s_z = E0 * col(9) + E1 * col(10) + E2 * col(11)
-        s_w = E0 * col(12) + E1 * col(13) + E2 * col(14)
-        a0 = col(15) != 0.0
-        a1 = col(16) != 0.0
-        a2 = col(17) != 0.0
-        in_p = (((E0 > 0) | ((E0 == 0) & a0))
-                & ((E1 > 0) | ((E1 == 0) & a1))
-                & ((E2 > 0) | ((E2 == 0) & a2)))
-        in_n = (((E0 < 0) | ((E0 == 0) & ~a0))
-                & ((E1 < 0) | ((E1 == 0) & ~a1))
-                & ((E2 < 0) | ((E2 == 0) & ~a2)))
-        cov_p = in_p & (s_w > 0) & (s_z >= -s_w) & (s_z <= s_w)
-        cov_n = in_n & (s_w < 0) & (s_z <= -s_w) & (s_z >= s_w)
-        covered = (cov_p | cov_n) & (col(18) != 0.0)
-        # Unmasked division as everywhere else (see geometry
-        # fragment_cover_depth): the select discards inf/nan.
-        depth = jnp.where(covered, s_z / s_w, jnp.inf)
-
-        orig_col = col(19)
-        best_depth = jnp.min(depth, axis=0, keepdims=True)
-        at_best = depth == best_depth
-        big = jnp.float32(forward_pallas._BIG)
-        best_orig = jnp.min(jnp.where(at_best, orig_col, big), axis=0,
-                            keepdims=True)
-        winner = at_best & (orig_col == best_orig)
-
-        def pick(plane):
-            return jnp.sum(jnp.where(winner, plane, 0.0), axis=0,
-                           keepdims=True)
-
-        cand_rows = [
-            pick((E0 * col(_BASE + ch) + E1 * col(_BASE + channels + ch))
-                 + E2 * col(_BASE + 2 * channels + ch))
-            for ch in range(channels)
-        ]
-        cand_rows += [pick(E0), pick(E1), pick(E2), pick(s_w)]
-        cand_rows += [pick(col(24 + k)) for k in range(3)]
-        cand_rows += [best_depth, best_orig]
-        cand = jnp.concatenate(cand_rows, axis=0)
-
-        prev = state_ref[0]
-        chunk_cov = best_depth < jnp.inf
-        prev_depth = prev[ns - 2:ns - 1, :]
-        prev_orig = prev[ns - 1:ns, :]
-        better = chunk_cov & (
-            (best_depth < prev_depth)
-            | ((best_depth == prev_depth) & (best_orig < prev_orig)))
-        state_ref[0] = jnp.where(better, cand, prev)
+        # The shared chunk-sweep math keeps this backend's per-fragment
+        # arithmetic the same expression tree as the dense kernels'
+        # (bit-exact-visibility invariant).
+        cand, best_depth, best_orig = forward_dense.chunk_candidates(
+            col, xg, yg, channels)
+        state_ref[0] = forward_dense.merge_state(
+            state_ref[0], cand, best_depth, best_orig, ns)
 
 
 def rasterise_batch(background, vertices, vertex_colors, faces,

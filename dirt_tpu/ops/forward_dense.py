@@ -21,9 +21,20 @@ face and serialises on the scalar unit; the dense form has NO scalar reads
 in the hot path -- face constants broadcast from VMEM columns [CHUNK, 1] --
 and turns the face sweep into full-width VPU work on [CHUNK, PIX] planes
 (PIX = TILE_H * TILE_W, flattened so every op sits on the native
-sublane x lane layout).  The cost is processing ceil(live / CHUNK) * CHUNK
-face slots per tile, so the scalar kernel can still win for very sparse
-scenes; DIRT_TPU_BACKEND selects explicitly.
+sublane x lane layout).
+
+Two work schedules share the chunk-sweep math (`chunk_candidates` /
+`merge_state`, also used by ops/forward_blocks.py so the backends cannot
+drift numerically):
+
+  * FUSED (production, round 3): grid (batch, tiles); the tile's whole
+    face table is resident in VMEM and an in-kernel fori_loop sweeps only
+    the live chunks.  The round-3 device sweep measured ~2 us of fixed
+    cost PER GRID STEP (shrinking tiles made everything slower), so
+    folding the chunk dimension into the kernel removes both the dead
+    chunk steps and ~7/8 of the step overhead.
+  * chunk-grid (DIRT_TPU_DENSE_FUSED=0): grid (batch, tiles, chunks) with
+    one face chunk streamed per step; kept selectable for comparison.
 
 Reference semantics being replaced: GL triangle setup + raster units +
 depth test + smooth interpolation (csrc/rasterise_egl.cpp:362-380,
@@ -43,6 +54,7 @@ from . import forward_pallas, geometry, reference
 TILE_H = int(_os.environ.get("DIRT_TPU_DENSE_TILE_H", 32))
 TILE_W = int(_os.environ.get("DIRT_TPU_DENSE_TILE_W", 128))
 CHUNK = int(_os.environ.get("DIRT_TPU_DENSE_CHUNK", 64))
+FUSED = _os.environ.get("DIRT_TPU_DENSE_FUSED", "1") != "0"
 _BASE = forward_pallas._BASE
 
 # Packed per-pixel state rows (all float32; ints are exact below 2^24):
@@ -55,8 +67,105 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
+def pixel_ndc(tile_row, tile_col, height, width, pix, tile_w):
+    """Pixel-centre NDC rows for a flattened tile, identical expression to
+    geometry.pixel_centre_ndc.  Returns (xg, yg), each [1, pix]."""
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, pix), 1)
+    rows = p // tile_w
+    cols = p - rows * tile_w
+    xg = (((tile_col + cols).astype(jnp.float32) + 0.5)
+          * (2.0 / width) - 1.0)
+    yg = (1.0 - ((tile_row + rows).astype(jnp.float32) + 0.5)
+          * (2.0 / height))
+    return xg, yg
+
+
+def init_state(channels, pix):
+    """glClearDepth(1.0) equivalent; orig -1 marks background.  Value rows
+    are junk until a face wins (the postprocess selects on orig >= 0)."""
+    zeros = jnp.zeros((channels + 7, pix), jnp.float32)
+    depth = jnp.full((1, pix), 1.0, jnp.float32)
+    orig = jnp.full((1, pix), -1.0, jnp.float32)
+    return jnp.concatenate([zeros, depth, orig], axis=0)
+
+
+def chunk_candidates(col, xg, yg, channels):
+    """One dense chunk sweep: edge functions, coverage, depth, and the
+    lexicographic (depth, original index) winner pick over the chunk.
+
+    `col(i)` returns face-table column i as [K, 1] (layout comment in
+    ops/forward_pallas.py).  Returns (cand [C+9, pix], best_depth [1, pix],
+    best_orig [1, pix]).  Shared by the dense, fused-dense and
+    block-binned kernels so their per-fragment arithmetic is the same
+    expression tree (the bit-exact-visibility invariant).
+    """
+    E0 = col(0) * xg + col(1) * yg + col(2)
+    E1 = col(3) * xg + col(4) * yg + col(5)
+    E2 = col(6) * xg + col(7) * yg + col(8)
+
+    s_z = E0 * col(9) + E1 * col(10) + E2 * col(11)
+    s_w = E0 * col(12) + E1 * col(13) + E2 * col(14)
+    a0 = col(15) != 0.0
+    a1 = col(16) != 0.0
+    a2 = col(17) != 0.0
+    in_p = (((E0 > 0) | ((E0 == 0) & a0))
+            & ((E1 > 0) | ((E1 == 0) & a1))
+            & ((E2 > 0) | ((E2 == 0) & a2)))
+    in_n = (((E0 < 0) | ((E0 == 0) & ~a0))
+            & ((E1 < 0) | ((E1 == 0) & ~a1))
+            & ((E2 < 0) | ((E2 == 0) & ~a2)))
+    cov_p = in_p & (s_w > 0) & (s_z >= -s_w) & (s_z <= s_w)
+    cov_n = in_n & (s_w < 0) & (s_z <= -s_w) & (s_z >= s_w)
+    covered = (cov_p | cov_n) & (col(18) != 0.0)
+    # Unmasked division as everywhere else (see geometry
+    # fragment_cover_depth): the select discards inf/nan.
+    depth = jnp.where(covered, s_z / s_w, jnp.inf)
+
+    orig_col = col(19)                              # original face index
+    # Lexicographic (depth, original index) minimum over the chunk.
+    # Non-hitting tail slots produce no coverage (conservative bboxes),
+    # so processing the full chunk is correct, only wasteful.
+    best_depth = jnp.min(depth, axis=0, keepdims=True)       # [1, PIX]
+    at_best = depth == best_depth                            # [K, PIX]
+    big = jnp.float32(forward_pallas._BIG)
+    best_orig = jnp.min(jnp.where(at_best, orig_col, big), axis=0,
+                        keepdims=True)
+    winner = at_best & (orig_col == best_orig)
+
+    def pick(plane):
+        return jnp.sum(jnp.where(winner, plane, 0.0), axis=0,
+                       keepdims=True)
+
+    # Winner rows.  num matches the FMA structure of
+    # geometry.interpolate_attributes / the per-face kernel exactly:
+    # ((E0*a0 + E1*a1) + E2*a2), so constant attributes interpolate to
+    # themselves bit-exactly after the postprocess division.
+    cand_rows = [
+        pick((E0 * col(_BASE + ch) + E1 * col(_BASE + channels + ch))
+             + E2 * col(_BASE + 2 * channels + ch))
+        for ch in range(channels)
+    ]
+    cand_rows += [pick(E0), pick(E1), pick(E2), pick(s_w)]
+    cand_rows += [pick(col(24 + k)) for k in range(3)]
+    cand_rows += [best_depth, best_orig]
+    return jnp.concatenate(cand_rows, axis=0), best_depth, best_orig
+
+
+def merge_state(prev, cand, best_depth, best_orig, ns):
+    """GL_LESS + draw-order-tie merge of a chunk's winner into the running
+    per-pixel state."""
+    chunk_cov = best_depth < jnp.inf
+    prev_depth = prev[ns - 2:ns - 1, :]
+    prev_orig = prev[ns - 1:ns, :]
+    better = chunk_cov & (
+        (best_depth < prev_depth)
+        | ((best_depth == prev_depth) & (best_orig < prev_orig)))
+    return jnp.where(better, cand, prev)
+
+
 def _raster_kernel(count_ref, face_ref, state_ref,
                    *, height, width, channels, tiles_x):
+    """Chunk-grid schedule: one face chunk per grid step."""
     pix = TILE_H * TILE_W
     ns = channels + 9
     chunk_idx = pl.program_id(2)
@@ -66,89 +175,45 @@ def _raster_kernel(count_ref, face_ref, state_ref,
 
     @pl.when(chunk_idx == 0)
     def _init():
-        # glClearDepth(1.0); orig -1 marks background.  Value rows are junk
-        # until a face wins (the postprocess selects on orig >= 0).
-        zeros = jnp.zeros((channels + 7, pix), jnp.float32)
-        depth = jnp.full((1, pix), 1.0, jnp.float32)
-        orig = jnp.full((1, pix), -1.0, jnp.float32)
-        state_ref[0, 0] = jnp.concatenate([zeros, depth, orig], axis=0)
+        state_ref[0, 0] = init_state(channels, pix)
 
     chunk_active = chunk_idx * CHUNK < count_ref[0, 0, 0, 0, 0]
 
     @pl.when(chunk_active)
     def _process():
-        p = jax.lax.broadcasted_iota(jnp.int32, (1, pix), 1)
-        rows = p // TILE_W
-        cols = p - rows * TILE_W
-        # Pixel-centre NDC, identical expression to geometry.pixel_centre_ndc.
-        xg = (((tile_col + cols).astype(jnp.float32) + 0.5)
-              * (2.0 / width) - 1.0)
-        yg = (1.0 - ((tile_row + rows).astype(jnp.float32) + 0.5)
-              * (2.0 / height))
+        xg, yg = pixel_ndc(tile_row, tile_col, height, width, pix, TILE_W)
 
         def col(i):
             return face_ref[0, 0, 0, :, i:i + 1]        # [CHUNK, 1]
 
-        E0 = col(0) * xg + col(1) * yg + col(2)
-        E1 = col(3) * xg + col(4) * yg + col(5)
-        E2 = col(6) * xg + col(7) * yg + col(8)
+        cand, best_depth, best_orig = chunk_candidates(col, xg, yg, channels)
+        state_ref[0, 0] = merge_state(state_ref[0, 0], cand, best_depth,
+                                      best_orig, ns)
 
-        s_z = E0 * col(9) + E1 * col(10) + E2 * col(11)
-        s_w = E0 * col(12) + E1 * col(13) + E2 * col(14)
-        a0 = col(15) != 0.0
-        a1 = col(16) != 0.0
-        a2 = col(17) != 0.0
-        in_p = (((E0 > 0) | ((E0 == 0) & a0))
-                & ((E1 > 0) | ((E1 == 0) & a1))
-                & ((E2 > 0) | ((E2 == 0) & a2)))
-        in_n = (((E0 < 0) | ((E0 == 0) & ~a0))
-                & ((E1 < 0) | ((E1 == 0) & ~a1))
-                & ((E2 < 0) | ((E2 == 0) & ~a2)))
-        cov_p = in_p & (s_w > 0) & (s_z >= -s_w) & (s_z <= s_w)
-        cov_n = in_n & (s_w < 0) & (s_z <= -s_w) & (s_z >= s_w)
-        covered = (cov_p | cov_n) & (col(18) != 0.0)
-        # Unmasked division as everywhere else (see geometry
-        # fragment_cover_depth): the select discards inf/nan.
-        depth = jnp.where(covered, s_z / s_w, jnp.inf)
 
-        orig_col = col(19)                              # original face index
-        # Lexicographic (depth, original index) minimum over the chunk.
-        # Non-hitting tail slots produce no coverage (conservative bboxes),
-        # so processing the full chunk is correct, only wasteful.
-        best_depth = jnp.min(depth, axis=0, keepdims=True)       # [1, PIX]
-        at_best = depth == best_depth                            # [K, PIX]
-        big = jnp.float32(forward_pallas._BIG)
-        best_orig = jnp.min(jnp.where(at_best, orig_col, big), axis=0,
-                            keepdims=True)
-        winner = at_best & (orig_col == best_orig)
+def _raster_kernel_fused(count_ref, face_ref, state_ref,
+                         *, height, width, channels, tiles_x):
+    """Fused schedule: grid (batch, tiles); in-kernel loop over live chunks
+    with the tile's whole face table resident in VMEM.  Dead chunks cost
+    nothing (dynamic trip count), and the running state stays in vector
+    registers across the sweep instead of a VMEM round trip per chunk."""
+    pix = TILE_H * TILE_W
+    ns = channels + 9
+    tile = pl.program_id(1)
+    tile_row = (tile // tiles_x) * TILE_H
+    tile_col = jax.lax.rem(tile, tiles_x) * TILE_W
+    xg, yg = pixel_ndc(tile_row, tile_col, height, width, pix, TILE_W)
 
-        def pick(plane):
-            return jnp.sum(jnp.where(winner, plane, 0.0), axis=0,
-                           keepdims=True)
+    def body(c, state):
+        def col(i):
+            return face_ref[0, 0, c, :, i:i + 1]        # [CHUNK, 1]
+        cand, best_depth, best_orig = chunk_candidates(col, xg, yg, channels)
+        return merge_state(state, cand, best_depth, best_orig, ns)
 
-        # Winner rows.  num matches the FMA structure of
-        # geometry.interpolate_attributes / the per-face kernel exactly:
-        # ((E0*a0 + E1*a1) + E2*a2), so constant attributes interpolate to
-        # themselves bit-exactly after the postprocess division.
-        cand_rows = [
-            pick((E0 * col(_BASE + ch) + E1 * col(_BASE + channels + ch))
-                 + E2 * col(_BASE + 2 * channels + ch))
-            for ch in range(channels)
-        ]
-        cand_rows += [pick(E0), pick(E1), pick(E2), pick(s_w)]
-        cand_rows += [pick(col(24 + k)) for k in range(3)]
-        cand_rows += [best_depth, best_orig]
-        cand = jnp.concatenate(cand_rows, axis=0)                # [NS, PIX]
-
-        # Merge with the running state (GL_LESS + draw-order ties).
-        prev = state_ref[0, 0]
-        chunk_cov = best_depth < jnp.inf
-        prev_depth = prev[ns - 2:ns - 1, :]
-        prev_orig = prev[ns - 1:ns, :]
-        better = chunk_cov & (
-            (best_depth < prev_depth)
-            | ((best_depth == prev_depth) & (best_orig < prev_orig)))
-        state_ref[0, 0] = jnp.where(better, cand, prev)
+    count = count_ref[0, 0, 0, 0, 0]
+    n_live = (count + (CHUNK - 1)) // CHUNK
+    state_ref[0, 0] = jax.lax.fori_loop(
+        0, n_live, body, init_state(channels, pix))
 
 
 def rasterise_batch(background, vertices, vertex_colors, faces,
@@ -197,30 +262,54 @@ def rasterise_batch(background, vertices, vertex_colors, faces,
                           tile_h=TILE_H, tile_w=TILE_W))(
         vertices, vertex_colors, faces)
 
-    kernel = functools.partial(
-        _raster_kernel, height=height, width=width, channels=channels,
-        tiles_x=tiles_x)
-
-    state = pl.pallas_call(
-        kernel,
-        grid=(batch, num_tiles, num_chunks),
-        in_specs=[
-            pl.BlockSpec((1, 1, 1, 1, 1),
-                         lambda b, t, c: (b, t, 0, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, CHUNK, width_d),
-                         lambda b, t, c: (b, t, c, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1, ns, pix),
-                               lambda b, t, c: (b, t, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(
-            (batch, num_tiles, ns, pix), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
-        interpret=interpret,
-    )(counts, face_data)
+    if FUSED:
+        kernel = functools.partial(
+            _raster_kernel_fused, height=height, width=width,
+            channels=channels, tiles_x=tiles_x)
+        state = pl.pallas_call(
+            kernel,
+            grid=(batch, num_tiles),
+            in_specs=[
+                pl.BlockSpec((1, 1, 1, 1, 1),
+                             lambda b, t: (b, t, 0, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, num_chunks, CHUNK, width_d),
+                             lambda b, t: (b, t, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, ns, pix),
+                                   lambda b, t: (b, t, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(
+                (batch, num_tiles, ns, pix), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel")),
+            interpret=interpret,
+        )(counts, face_data)
+    else:
+        kernel = functools.partial(
+            _raster_kernel, height=height, width=width, channels=channels,
+            tiles_x=tiles_x)
+        state = pl.pallas_call(
+            kernel,
+            grid=(batch, num_tiles, num_chunks),
+            in_specs=[
+                pl.BlockSpec((1, 1, 1, 1, 1),
+                             lambda b, t, c: (b, t, 0, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 1, CHUNK, width_d),
+                             lambda b, t, c: (b, t, c, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, ns, pix),
+                                   lambda b, t, c: (b, t, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(
+                (batch, num_tiles, ns, pix), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")),
+            interpret=interpret,
+        )(counts, face_data)
 
     pixels, aux = finalize(state, background, height, width, tiles_y,
                            tiles_x, tile_h=TILE_H, tile_w=TILE_W)

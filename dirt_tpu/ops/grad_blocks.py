@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from . import backward, forward_blocks, grad_tables
+from . import backward, forward_blocks, grad_dense, grad_tables
 
 TILE_H = int(_os.environ.get("DIRT_TPU_GRAD_BLOCKS_TILE_H", 32))
 TILE_W = int(_os.environ.get("DIRT_TPU_GRAD_BLOCKS_TILE_W", 128))
@@ -73,30 +73,9 @@ def _grad_kernel(run_ref, item_ref, dma_ref, face_ref, planes_ref,
         def col(i):
             return face_ref[0, :, i:i + 1]                 # [CHUNK, 1]
 
-        # Plane order identical to ops/grad_dense.py:
-        #   0 ax, 1 ay, 2 Px, 3 Py, 4-6 bary_d, 7 face_d,
-        #   8-10 bary_pre, 11 face_pre, 12.. grad_pixels channels
-        fid = col(4)
-        mask_d = plane(7) == fid
-        mask_pre = plane(11) == fid
-
-        cx = (plane(4) * col(6) + plane(5) * col(7)) + plane(6) * col(8)
-        cy = (plane(4) * col(9) + plane(5) * col(10)) + plane(6) * col(11)
-        p = plane(2) * cx + plane(3) * cy
-
-        def rsum(a):
-            return jnp.sum(a, axis=1, keepdims=True)
-
-        sums = []
-        for k in range(3):
-            wd = jnp.where(mask_d, plane(4 + k), 0.0)
-            sums.append(rsum(wd * plane(0)))               # gx_k
-            sums.append(rsum(wd * plane(1)))               # gy_k
-            sums.append(-rsum(wd * p))                     # gw_k
-            wp = jnp.where(mask_pre, plane(8 + k), 0.0)
-            for c in range(channels):
-                sums.append(rsum(wp * plane(12 + c)))      # gcolor_kc
-        out_ref[0] += jnp.concatenate(sums, axis=1)        # [CHUNK, d_out]
+        # Shared reduction math (ops/grad_dense.chunk_sums) keeps this
+        # backend's arithmetic identical to the dense kernels'.
+        out_ref[0] += grad_dense.chunk_sums(col, plane, channels)
 
 
 def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,

@@ -48,10 +48,47 @@ from . import backward, forward_pallas, grad_tables
 TILE_H = int(_os.environ.get("DIRT_TPU_GRAD_DENSE_TILE_H", 32))
 TILE_W = int(_os.environ.get("DIRT_TPU_GRAD_DENSE_TILE_W", 128))
 CHUNK = int(_os.environ.get("DIRT_TPU_GRAD_DENSE_CHUNK", 64))
+FUSED = _os.environ.get("DIRT_TPU_GRAD_DENSE_FUSED", "1") != "0"
 
 
 def _cdiv(a, b):
     return -(-a // b)
+
+
+def chunk_sums(col, plane, channels):
+    """Masked per-face pixel reductions for one chunk: [K, d_out].
+
+    `col(i)` returns gradient-face-table column i as [K, 1]
+    (ops/grad_tables.py layout); `plane(i)` returns per-pixel plane i as
+    [1, PIX] or [K', PIX] broadcastable rows.  Plane order (see
+    rasterise_grad_batch):
+        0 ax, 1 ay, 2 Px, 3 Py, 4-6 bary_d, 7 face_d,
+        8-10 bary_pre, 11 face_pre, 12.. grad_pixels channels
+    Shared by the chunk-grid, fused and block-binned gradient kernels so
+    the reduction arithmetic cannot drift between them.
+    """
+    fid = col(4)                                       # original index
+    mask_d = plane(7) == fid                           # [CHUNK, PIX]
+    mask_pre = plane(11) == fid
+
+    # Face-dependent fragment clip x, y and the viewport w-term.
+    cx = (plane(4) * col(6) + plane(5) * col(7)) + plane(6) * col(8)
+    cy = (plane(4) * col(9) + plane(5) * col(10)) + plane(6) * col(11)
+    p = plane(2) * cx + plane(3) * cy
+
+    def rsum(a):                                       # [CHUNK, 1]
+        return jnp.sum(a, axis=1, keepdims=True)
+
+    sums = []
+    for k in range(3):
+        wd = jnp.where(mask_d, plane(4 + k), 0.0)
+        sums.append(rsum(wd * plane(0)))               # gx_k
+        sums.append(rsum(wd * plane(1)))               # gy_k
+        sums.append(-rsum(wd * p))                     # gw_k
+        wp = jnp.where(mask_pre, plane(8 + k), 0.0)
+        for c in range(channels):
+            sums.append(rsum(wp * plane(12 + c)))      # gcolor_kc
+    return jnp.concatenate(sums, axis=1)               # [CHUNK, d_out]
 
 
 def _grad_kernel(count_ref, face_ref, planes_ref, out_ref, *, channels):
@@ -73,31 +110,35 @@ def _grad_kernel(count_ref, face_ref, planes_ref, out_ref, *, channels):
         def col(i):
             return face_ref[0, 0, 0, :, i:i + 1]           # [CHUNK, 1]
 
-        # Plane order (see rasterise_grad_batch below):
-        #   0 ax, 1 ay, 2 Px, 3 Py, 4-6 bary_d, 7 face_d,
-        #   8-10 bary_pre, 11 face_pre, 12.. grad_pixels channels
-        fid = col(4)                                       # original index
-        mask_d = plane(7) == fid                           # [CHUNK, PIX]
-        mask_pre = plane(11) == fid
+        out_ref[0, 0, 0] = chunk_sums(col, plane, channels)
 
-        # Face-dependent fragment clip x, y and the viewport w-term.
-        cx = (plane(4) * col(6) + plane(5) * col(7)) + plane(6) * col(8)
-        cy = (plane(4) * col(9) + plane(5) * col(10)) + plane(6) * col(11)
-        p = plane(2) * cx + plane(3) * cy
 
-        def rsum(a):                                       # [CHUNK, 1]
-            return jnp.sum(a, axis=1, keepdims=True)
+def _grad_kernel_fused(count_ref, face_ref, planes_ref, out_ref, *,
+                       channels, num_chunks):
+    """Fused schedule: grid (batch, tiles); in-kernel loop over chunks with
+    the tile's whole gradient face table resident in VMEM (the round-3
+    device sweep measured ~2 us fixed cost per grid step; see
+    forward_dense)."""
+    d_out = 9 + 3 * channels
 
-        sums = []
-        for k in range(3):
-            wd = jnp.where(mask_d, plane(4 + k), 0.0)
-            sums.append(rsum(wd * plane(0)))               # gx_k
-            sums.append(rsum(wd * plane(1)))               # gy_k
-            sums.append(-rsum(wd * p))                     # gw_k
-            wp = jnp.where(mask_pre, plane(8 + k), 0.0)
-            for c in range(channels):
-                sums.append(rsum(wp * plane(12 + c)))      # gcolor_kc
-        out_ref[0, 0, 0] = jnp.concatenate(sums, axis=1)   # [CHUNK, d_out]
+    def plane(i):
+        return planes_ref[0, 0, i:i + 1, :]                # [1, PIX]
+
+    count = count_ref[0, 0, 0, 0, 0]
+    n_live = (count + (CHUNK - 1)) // CHUNK
+
+    def live_body(c, _):
+        def col(i):
+            return face_ref[0, 0, c, :, i:i + 1]           # [CHUNK, 1]
+        out_ref[0, 0, c] = chunk_sums(col, plane, channels)
+        return 0
+
+    def dead_body(c, _):
+        out_ref[0, 0, c] = jnp.zeros((CHUNK, d_out), jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, n_live, live_body, 0)
+    jax.lax.fori_loop(n_live, num_chunks, dead_body, 0)
 
 
 def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
@@ -166,33 +207,59 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
                           tiles_x=tiles_x, chunk=CHUNK, tile_h=TILE_H,
                           tile_w=TILE_W))(vertices, faces)
 
-    kernel = functools.partial(_grad_kernel, channels=channels)
-
-    face_grads = pl.pallas_call(
-        kernel,
-        grid=(batch, num_tiles, num_chunks),
-        in_specs=[
-            pl.BlockSpec((1, 1, 1, 1, 1),
-                         lambda b, t, c: (b, t, 0, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, CHUNK, grad_tables._DF),
-                         lambda b, t, c: (b, t, c, 0, 0),
-                         memory_space=pltpu.VMEM),
-            # Indexed per tile only: the chunk sweep (innermost grid dim)
-            # re-uses the block without a fresh DMA.
-            pl.BlockSpec((1, 1, n_planes, pix),
-                         lambda b, t, c: (b, t, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1, 1, CHUNK, d_out),
-                               lambda b, t, c: (b, t, c, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(
-            (batch, num_tiles, num_chunks, CHUNK, d_out), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel")),
-        interpret=interpret,
-    )(counts, face_data, planes)
+    if FUSED:
+        kernel = functools.partial(_grad_kernel_fused, channels=channels,
+                                   num_chunks=num_chunks)
+        face_grads = pl.pallas_call(
+            kernel,
+            grid=(batch, num_tiles),
+            in_specs=[
+                pl.BlockSpec((1, 1, 1, 1, 1),
+                             lambda b, t: (b, t, 0, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, num_chunks, CHUNK, grad_tables._DF),
+                             lambda b, t: (b, t, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, n_planes, pix),
+                             lambda b, t: (b, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, num_chunks, CHUNK, d_out),
+                                   lambda b, t: (b, t, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(
+                (batch, num_tiles, num_chunks, CHUNK, d_out), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel")),
+            interpret=interpret,
+        )(counts, face_data, planes)
+    else:
+        kernel = functools.partial(_grad_kernel, channels=channels)
+        face_grads = pl.pallas_call(
+            kernel,
+            grid=(batch, num_tiles, num_chunks),
+            in_specs=[
+                pl.BlockSpec((1, 1, 1, 1, 1),
+                             lambda b, t, c: (b, t, 0, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 1, CHUNK, grad_tables._DF),
+                             lambda b, t, c: (b, t, c, 0, 0),
+                             memory_space=pltpu.VMEM),
+                # Indexed per tile only: the chunk sweep (innermost grid
+                # dim) re-uses the block without a fresh DMA.
+                pl.BlockSpec((1, 1, n_planes, pix),
+                             lambda b, t, c: (b, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, 1, CHUNK, d_out),
+                                   lambda b, t, c: (b, t, c, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(
+                (batch, num_tiles, num_chunks, CHUNK, d_out), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel")),
+            interpret=interpret,
+        )(counts, face_data, planes)
 
     # --- tiny face-corner -> vertex scatter (face-count sized) ---
     face_grads = face_grads.reshape(
