@@ -361,24 +361,21 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
 def _auto_grad_kernel(num_faces, image_hw):
     """Static kernel choice for the TPU gradient assembly.
 
-    The chunk-dense kernel (ops/grad_dense.py) is the production choice:
-    measured on TPU v5e (round 2) it is the fastest of the implementations
-    (8.1 ms vs 13.8 ms for the round-1 face-major scalar kernel at the
-    512-face bench scene) AND matches the XLA ground truth on-device at
-    multi-chunk configurations.  The scalar kernel was deleted in round 3
-    (Mosaic miscompiled it compiled -- repro/mosaic_scalar_smem_accum.py);
-    the MXU contraction kernel is slower (Precision.HIGHEST 6-pass matmuls)
-    but stays available via DIRT_TPU_GRAD_BACKEND for comparison.  Past the
-    block-binning threshold (shared with the forward, see
-    dispatch.default_backend) large meshes switch to the block-binned
-    kernel whose face-table memory is O(faces), not O(tiles x faces).
+    The block-binned face-major kernel (ops/grad_blocks.py) is the
+    production choice at EVERY mesh size (round-3 v5e measurement at the
+    16x256^2x512f bench config: 2.6 ms vs 7.9 ms chunk-dense, parity
+    3e-7): same reduction math, but its O(faces) output rows feed a
+    segment_sum 16x smaller than the chunk-dense kernel's per-tile
+    partial-sum layout (num_tiles x num_chunks x CHUNK rows), and its CSR
+    slot list runs one grid step per actual (block, tile) overlap.  The
+    chunk-dense kernel ("dense") and the MXU contraction kernel ("mxu",
+    single-pass bf16-split masked matmuls) stay available via
+    DIRT_TPU_GRAD_BACKEND for comparison; the round-1 face-major scalar
+    kernel was deleted (Mosaic miscompiled it --
+    repro/mosaic_scalar_smem_accum.py).
     """
-    import os
-    del image_hw
-    threshold = int(os.environ.get("DIRT_TPU_BLOCKS_THRESHOLD", "4096"))
-    if num_faces > threshold:
-        return "blocks"
-    return "dense"
+    del num_faces, image_hw
+    return "blocks"
 
 
 def rasterise_grad_grouped(vertices, faces, pixels, grad_pixels, aux):

@@ -21,8 +21,11 @@ CSR slot scheme of ops/forward_blocks.py transposed to FACE-MAJOR:
 
 The trade vs the tile-major grad_dense kernel: the pixel-plane block
 (~n_planes x TILE_H*TILE_W floats) streams once per (block, tile) visit
-instead of once per tile, so for small meshes with many blocks per tile
-the dense kernel wins -- dispatch keeps it below DIRT_TPU_BLOCKS_THRESHOLD.
+instead of once per tile.  Measured on v5e (round 3) this kernel
+nevertheless wins at EVERY size -- 2.6 ms vs 7.9 ms at the 512-face bench
+config -- because its O(faces) output rows feed a segment_sum 16x smaller
+than the tile-major layout's num_tiles x num_chunks x CHUNK rows, so it
+is the production gradient path (backward._auto_grad_kernel).
 
 The gradient bboxes are one pixel wider than the forward's (dilation
 support), so the binning is computed from the gradient face table.

@@ -75,7 +75,12 @@ def test_dense_pallas_kernels_under_shard_map(monkeypatch):
         mesh, bg, v, c, f, backend="dense"))
     expected = np.asarray(dirt_tpu.rasterise_batch(bg, v, c, f,
                                                    backend="dense"))
-    np.testing.assert_array_equal(out, expected)
+    # Per-shard (batch 1) vs whole-batch (batch 8) traces let XLA contract
+    # FMAs differently inside the kernel's interpolation products, so
+    # interpolated values agree to rounding, not bit-for-bit (coverage
+    # decisions are protected and bit-exact; the architecture invariant
+    # only pins values to FMA-contraction rounding across shapes).
+    np.testing.assert_allclose(out, expected, rtol=1e-6, atol=2e-7)
 
     weights = jnp.asarray(
         np.random.RandomState(7).randn(8, H, W, 3).astype(np.float32))
