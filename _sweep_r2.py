@@ -35,9 +35,17 @@ def run(batch, res, segments, iters=20, verify=True):
         else:
             # Sub-pixel sliver scenes (faces far below one pixel) sit at the
             # f32 edge-function cancellation limit where the winning face at
-            # near-tie depths is implementation-sensitive; report the count
-            # instead of a binary verdict.
-            tagv = f"idx!={nbad}/{covered} dpx={dpx:.2e}"
+            # near-tie depths is implementation-sensitive; adjudicate the
+            # disagreeing pixels with the double-precision oracle (exact
+            # products for f32 inputs -- the true geometry) and report the
+            # per-implementation counts instead of a binary verdict.
+            idx64 = oracle.visibility_f64(
+                np.asarray(clip[0]), np.asarray(faces[0]), res, res)
+            kern_vs_64 = int((np.asarray(aux.face_index[0]) != idx64).sum())
+            f32_vs_64 = int((want_idx != idx64).sum())
+            tagv = (f"idx!={nbad}/{covered} dpx={dpx:.2e} "
+                    f"[f64 adjudication: kernel!={kern_vs_64}, "
+                    f"f32-oracle!={f32_vs_64}]")
     else:
         tagv = "unverified"
 

@@ -357,7 +357,7 @@ def main():
     print("devices:", jax.devices(), flush=True)
     check("square exactness (pallas + dense)", square_test)
     check("random-soup parity (3 backends + oracle)", soup_parity)
-    check("gradient-kernel parity (scalar + dense + mxu vs xla)", grad_parity)
+    check("gradient-kernel parity (dense + mxu vs xla)", grad_parity)
     check("camera-crossing clipping semantics", crossing_scene)
     check("deferred shading end-to-end fit", deferred_fit)
     check("closure-constant regression (fwd + grad)",
