@@ -51,9 +51,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import forward_pallas, geometry, reference
 
-TILE_H = int(_os.environ.get("DIRT_TPU_DENSE_TILE_H", 32))
-TILE_W = int(_os.environ.get("DIRT_TPU_DENSE_TILE_W", 128))
+# 0 = auto (tile_shape); a non-zero env value pins the dimension.
+TILE_H = int(_os.environ.get("DIRT_TPU_DENSE_TILE_H", 0))
+TILE_W = int(_os.environ.get("DIRT_TPU_DENSE_TILE_W", 0))
 CHUNK = int(_os.environ.get("DIRT_TPU_DENSE_CHUNK", 64))
+
+
+def tile_shape(height, width):
+    """Tile shape for the dense kernels.  The round-3 device sweep measured
+    16x256 fastest at the bench config (3.98 ms vs 4.56 for 32x128: half
+    the grid steps at the same 4096-pixel tile); images too narrow for a
+    256-lane tile keep 32x128 (16x128 measured slower, 4.70 ms)."""
+    del height
+    tw = TILE_W or (256 if width > 128 else 128)
+    th = TILE_H or (16 if tw >= 256 else 32)
+    return th, tw
 FUSED = _os.environ.get("DIRT_TPU_DENSE_FUSED", "1") != "0"
 _BASE = forward_pallas._BASE
 
@@ -164,14 +176,14 @@ def merge_state(prev, cand, best_depth, best_orig, ns):
 
 
 def _raster_kernel(count_ref, face_ref, state_ref,
-                   *, height, width, channels, tiles_x):
+                   *, height, width, channels, tiles_x, tile_h, tile_w):
     """Chunk-grid schedule: one face chunk per grid step."""
-    pix = TILE_H * TILE_W
+    pix = tile_h * tile_w
     ns = channels + 9
     chunk_idx = pl.program_id(2)
     tile = pl.program_id(1)
-    tile_row = (tile // tiles_x) * TILE_H
-    tile_col = jax.lax.rem(tile, tiles_x) * TILE_W
+    tile_row = (tile // tiles_x) * tile_h
+    tile_col = jax.lax.rem(tile, tiles_x) * tile_w
 
     @pl.when(chunk_idx == 0)
     def _init():
@@ -181,7 +193,7 @@ def _raster_kernel(count_ref, face_ref, state_ref,
 
     @pl.when(chunk_active)
     def _process():
-        xg, yg = pixel_ndc(tile_row, tile_col, height, width, pix, TILE_W)
+        xg, yg = pixel_ndc(tile_row, tile_col, height, width, pix, tile_w)
 
         def col(i):
             return face_ref[0, 0, 0, :, i:i + 1]        # [CHUNK, 1]
@@ -192,17 +204,17 @@ def _raster_kernel(count_ref, face_ref, state_ref,
 
 
 def _raster_kernel_fused(count_ref, face_ref, state_ref,
-                         *, height, width, channels, tiles_x):
+                         *, height, width, channels, tiles_x, tile_h, tile_w):
     """Fused schedule: grid (batch, tiles); in-kernel loop over live chunks
     with the tile's whole face table resident in VMEM.  Dead chunks cost
     nothing (dynamic trip count), and the running state stays in vector
     registers across the sweep instead of a VMEM round trip per chunk."""
-    pix = TILE_H * TILE_W
+    pix = tile_h * tile_w
     ns = channels + 9
     tile = pl.program_id(1)
-    tile_row = (tile // tiles_x) * TILE_H
-    tile_col = jax.lax.rem(tile, tiles_x) * TILE_W
-    xg, yg = pixel_ndc(tile_row, tile_col, height, width, pix, TILE_W)
+    tile_row = (tile // tiles_x) * tile_h
+    tile_col = jax.lax.rem(tile, tiles_x) * tile_w
+    xg, yg = pixel_ndc(tile_row, tile_col, height, width, pix, tile_w)
 
     def body(c, state):
         def col(i):
@@ -247,25 +259,26 @@ def rasterise_batch(background, vertices, vertex_colors, faces,
             dropped=jnp.zeros((batch,), jnp.int32))
 
     num_chunks = max(1, _cdiv(forward_pallas.tile_face_cap(num_faces), CHUNK))
-    tiles_y = _cdiv(height, TILE_H)
-    tiles_x = _cdiv(width, TILE_W)
+    tile_h, tile_w = tile_shape(height, width)
+    tiles_y = _cdiv(height, tile_h)
+    tiles_x = _cdiv(width, tile_w)
     num_tiles = tiles_y * tiles_x
-    hp, wp = tiles_y * TILE_H, tiles_x * TILE_W
+    hp, wp = tiles_y * tile_h, tiles_x * tile_w
     width_d = _BASE + 3 * channels
-    pix = TILE_H * TILE_W
+    pix = tile_h * tile_w
     ns = channels + 9
 
     face_data, counts, dropped = jax.vmap(
         functools.partial(forward_pallas._pack_faces, height=height,
                           width=width, num_chunks=num_chunks,
                           tiles_y=tiles_y, tiles_x=tiles_x, chunk=CHUNK,
-                          tile_h=TILE_H, tile_w=TILE_W))(
+                          tile_h=tile_h, tile_w=tile_w))(
         vertices, vertex_colors, faces)
 
     if FUSED:
         kernel = functools.partial(
             _raster_kernel_fused, height=height, width=width,
-            channels=channels, tiles_x=tiles_x)
+            channels=channels, tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w)
         state = pl.pallas_call(
             kernel,
             grid=(batch, num_tiles),
@@ -289,7 +302,7 @@ def rasterise_batch(background, vertices, vertex_colors, faces,
     else:
         kernel = functools.partial(
             _raster_kernel, height=height, width=width, channels=channels,
-            tiles_x=tiles_x)
+            tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w)
         state = pl.pallas_call(
             kernel,
             grid=(batch, num_tiles, num_chunks),
@@ -312,17 +325,15 @@ def rasterise_batch(background, vertices, vertex_colors, faces,
         )(counts, face_data)
 
     pixels, aux = finalize(state, background, height, width, tiles_y,
-                           tiles_x, tile_h=TILE_H, tile_w=TILE_W)
+                           tiles_x, tile_h=tile_h, tile_w=tile_w)
     return pixels, aux._replace(dropped=dropped)
 
 
 def finalize(state, background, height, width, tiles_y, tiles_x,
-             tile_h=None, tile_w=None):
+             *, tile_h, tile_w):
     """Un-tiles the packed per-pixel state and runs the XLA postprocess
     (one division, composite, aux assembly -- elementwise at pixel count,
     no gathers).  Shared by the dense and block-binned kernels."""
-    tile_h = TILE_H if tile_h is None else tile_h
-    tile_w = TILE_W if tile_w is None else tile_w
     batch, _, _, channels = background.shape
     ns = channels + 9
     hp, wp = tiles_y * tile_h, tiles_x * tile_w

@@ -41,8 +41,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import backward, forward_blocks, grad_dense, grad_tables
 
-TILE_H = int(_os.environ.get("DIRT_TPU_GRAD_BLOCKS_TILE_H", 32))
+# 0 = auto (tile_h_for); a non-zero env value pins the row count.
+TILE_H = int(_os.environ.get("DIRT_TPU_GRAD_BLOCKS_TILE_H", 0))
 TILE_W = int(_os.environ.get("DIRT_TPU_GRAD_BLOCKS_TILE_W", 128))
+
+
+def tile_h_for(num_faces):
+    """Round-3 v5e sweep: 16-row tiles win at the 512-face bench config
+    (2.11 vs 2.59 ms at 32 rows) and 8-row tiles win past ~2k faces (2.96
+    vs 3.28 ms at 2048 faces, 7.12 vs 7.72 at 8192).  Smaller faces have
+    smaller bbox footprints, so finer tiles cut wasted [CHUNK, PIX] sweep
+    width faster than they add (block, tile) visits."""
+    return TILE_H or (16 if num_faces <= 1024 else 8)
 # 128-face blocks measured fastest at both large recorded configs
 # (8192f: 167 vs 156 f/s; 65k: 18.6 vs 17.3; c32 slower): fewer
 # grid steps and better chunk occupancy outweigh the coarser
@@ -112,12 +122,13 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
     pre = backward.grad_prepass(pixels, grad_pixels, aux)
 
     num_blocks = _cdiv(num_faces, CHUNK)
-    tiles_y = _cdiv(height, TILE_H)
+    tile_h = tile_h_for(num_faces)
+    tiles_y = _cdiv(height, tile_h)
     tiles_x = _cdiv(width, TILE_W)
     num_tiles = tiles_y * tiles_x
     num_slots = forward_blocks.slots_per_image(num_blocks, num_tiles)
-    hp, wp = tiles_y * TILE_H, tiles_x * TILE_W
-    pix = TILE_H * TILE_W
+    hp, wp = tiles_y * tile_h, tiles_x * TILE_W
+    pix = tile_h * TILE_W
     n_planes = 12 + channels
     d_out = 9 + 3 * channels
 
@@ -132,7 +143,7 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
     ], axis=1)                                        # [B, NP, H, W]
     planes = jnp.pad(planes, ((0, 0), (0, 0), (0, hp - height),
                               (0, wp - width)))
-    planes = planes.reshape(batch, n_planes, tiles_y, TILE_H, tiles_x, TILE_W)
+    planes = planes.reshape(batch, n_planes, tiles_y, tile_h, tiles_x, TILE_W)
     planes = planes.transpose(0, 2, 4, 1, 3, 5).reshape(
         batch * num_tiles, n_planes, pix)
 
@@ -141,7 +152,7 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
             v, f, height, width, num_blocks * CHUNK - num_faces)
         hit = forward_blocks.hit_matrix(
             face_data, (0, 1, 2, 3), num_blocks, CHUNK,
-            tiles_y, tiles_x, TILE_H, TILE_W)
+            tiles_y, tiles_x, tile_h, TILE_W)
         # Transposed CSR: runs are blocks, items are tiles.  The dropped
         # count is discarded here: the gradient side has no aux channel, and
         # the forward pass over the same geometry (whose dilation-narrower
