@@ -126,8 +126,8 @@ def probe(segments):
             return jax.jit(run)
 
         ms = slope_time(pack_runner, clip, (colors, faces), "pack")
-        print(f"pack (dense per-tile, sortfree={forward_pallas.SORTFREE}): "
-              f"{ms and round(ms, 2)} ms", flush=True)
+        print(f"pack (dense per-tile argsort): {ms and round(ms, 2)} ms",
+              flush=True)
     else:
         CH = forward_blocks.CHUNK
         num_blocks = -(-num_faces // CH)

@@ -58,6 +58,11 @@ TILE_W = int(_os.environ.get("DIRT_TPU_BLOCKS_TILE_W", 128))
 # grid steps and better chunk occupancy outweigh the coarser
 # hit granularity once faces are small.
 CHUNK = int(_os.environ.get("DIRT_TPU_BLOCKS_CHUNK", 128))
+# Fused-CSR schedule: grid (batch * tiles), in-kernel loop over the
+# tile's live face-block visits with double-buffered manual DMA -- no
+# filler grid steps and no per-slot state round trips (the z-state rides
+# the fori_loop carry in vector registers, as in forward_dense FUSED).
+FUSED = _os.environ.get("DIRT_TPU_BLOCKS_FUSED", "1") != "0"
 _BASE = forward_pallas._BASE
 
 
@@ -178,6 +183,77 @@ def _raster_kernel(slot_tile_ref, slot_block_ref, slot_dma_ref,
             state_ref[0], cand, best_depth, best_orig, ns)
 
 
+def build_runs(hit, num_slots):
+    """Fused-CSR schedule for one image from the [R, I] bool hit matrix:
+    (starts [R], counts [R], item_ids [S], dropped []) i32.  Run r's live
+    items (ascending draw order) occupy item_ids[starts[r] : starts[r] +
+    counts[r]]; zero-hit runs need no slot (the fused kernels initialise
+    their output unconditionally).  Tail truncation by the static budget
+    clamps the last runs' counts and is counted in ``dropped``."""
+    num_runs, num_items = hit.shape
+    n = jnp.sum(hit, axis=1).astype(jnp.int32)             # [R]
+    starts = jnp.cumsum(n) - n                             # exclusive prefix
+    order = jnp.argsort(jnp.logical_not(hit), axis=1,
+                        stable=True).astype(jnp.int32)     # hits first
+    j = jnp.arange(num_items, dtype=jnp.int32)[None, :]
+    pos = jnp.where(j < n[:, None], starts[:, None] + j, num_slots)
+    item_ids = jnp.zeros((num_slots,), jnp.int32).at[
+        pos.reshape(-1)].set(order.reshape(-1), mode="drop")
+    dropped = jnp.maximum(jnp.sum(n) - num_slots, 0)
+    counts = jnp.minimum(n, jnp.maximum(num_slots - starts, 0))
+    return starts, counts, item_ids, dropped
+
+
+def _raster_kernel_fused(start_ref, count_ref, block_ids_ref, face_hbm,
+                         state_ref, scratch, sem,
+                         *, height, width, channels, tiles_x, num_tiles):
+    """One grid step per (batch, tile): sweep the tile's live face blocks
+    with the z-state in vector registers, double-buffering the [CHUNK, D]
+    face blocks HBM->VMEM (the DMA for visit i+1 overlaps the sweep of
+    visit i).  Sweep/merge math is shared with the dense kernels
+    (bit-exact-visibility invariant)."""
+    pix = TILE_H * TILE_W
+    ns = channels + 9
+    t = pl.program_id(0)
+    tile = jax.lax.rem(t, num_tiles)
+    tile_row = (tile // tiles_x) * TILE_H
+    tile_col = jax.lax.rem(tile, tiles_x) * TILE_W
+    start = start_ref[t]
+    n = count_ref[t]
+
+    def get_dma(slot, i):
+        return pltpu.make_async_copy(
+            face_hbm.at[block_ids_ref[start + i]],
+            scratch.at[slot], sem.at[slot])
+
+    @pl.when(n > 0)
+    def _warmup():
+        get_dma(0, 0).start()
+
+    xg, yg = forward_dense.pixel_ndc(tile_row, tile_col, height, width,
+                                     pix, TILE_W)
+
+    def body(i, state):
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < n)
+        def _prefetch():
+            get_dma(1 - slot, i + 1).start()
+
+        get_dma(slot, i).wait()
+
+        def col(j):
+            return scratch[slot, :, j:j + 1]                # [CHUNK, 1]
+
+        cand, best_depth, best_orig = forward_dense.chunk_candidates(
+            col, xg, yg, channels)
+        return forward_dense.merge_state(
+            state, cand, best_depth, best_orig, ns)
+
+    state_ref[0] = jax.lax.fori_loop(
+        0, n, body, forward_dense.init_state(channels, pix))
+
+
 def rasterise_batch(background, vertices, vertex_colors, faces,
                     interpret=None):
     """Batched forward rasterisation via the block-binned dense kernel.
@@ -222,64 +298,100 @@ def rasterise_batch(background, vertices, vertex_colors, faces,
             v, c, f, height, width, num_blocks * CHUNK - num_faces)
         hit = hit_matrix(face_data, (20, 21, 22, 23), num_blocks, CHUNK,
                          tiles_y, tiles_x, TILE_H, TILE_W)
+        table = face_data.reshape(num_blocks, CHUNK, width_d)
+        if FUSED:
+            return table, *build_runs(hit, num_slots)
         slot_tile, slot_block, slot_dma, dropped = build_slots(hit, num_slots)
-        return face_data.reshape(num_blocks, CHUNK, width_d), \
-            slot_tile, slot_block, slot_dma, dropped
+        return table, slot_tile, slot_block, slot_dma, dropped
 
-    face_table, slot_tile, slot_block, slot_dma, dropped = jax.vmap(pack_one)(
+    face_table, csr_a, csr_b, csr_c, dropped = jax.vmap(pack_one)(
         vertices, vertex_colors, faces)
     # Flat 1-D prefetch arrays (a >1-D trailing dim pads to 128 SMEM lanes);
     # fold the batch index into the tile/block ids so the batch is one run.
     boff = jnp.arange(batch, dtype=jnp.int32)[:, None]
-    slot_tile = (slot_tile + num_tiles * boff).reshape(-1)     # [B*S]
-    slot_block = slot_block.reshape(-1)                        # active flag
-    slot_dma = (slot_dma + num_blocks * boff).reshape(-1)      # DMA target
     face_table = face_table.reshape(batch * num_blocks, CHUNK, width_d)
 
-    kernel = functools.partial(
-        _raster_kernel, height=height, width=width, channels=channels,
-        tiles_x=tiles_x, num_tiles=num_tiles)
+    if FUSED:
+        starts = (csr_a + num_slots * boff).reshape(-1)        # [B*T]
+        counts = csr_b.reshape(-1)                             # [B*T]
+        block_ids = (csr_c + num_blocks * boff).reshape(-1)    # [B*S]
+        kernel = functools.partial(
+            _raster_kernel_fused, height=height, width=width,
+            channels=channels, tiles_x=tiles_x, num_tiles=num_tiles)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,  # starts, counts [B*T], block_ids [B*S]
+            grid=(batch * num_tiles,),
+            in_specs=[
+                # Face blocks stay in HBM; the kernel streams the tile's
+                # live visits through a double-buffered VMEM scratch.
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, ns, pix),
+                                   lambda t, starts, counts, ids: (t, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, CHUNK, width_d), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        state = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (batch * num_tiles, ns, pix), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=interpret,
+        )(starts, counts, block_ids, face_table)
+    else:
+        slot_tile = (csr_a + num_tiles * boff).reshape(-1)     # [B*S]
+        slot_block = csr_b.reshape(-1)                         # active flag
+        slot_dma = (csr_c + num_blocks * boff).reshape(-1)     # DMA target
 
-    # Aliased init buffer: if the static slot budget ever truncates a tile's
-    # mandatory slot (pathologically incoherent draw order past the 8x
-    # slack), its state block is never visited -- with the background-init
-    # rows aliased in, such a tile degrades to background instead of
-    # decoding uninitialised memory.
-    init_row = jnp.concatenate([
-        jnp.zeros((channels + 7,), jnp.float32),
-        jnp.asarray([1.0, -1.0], jnp.float32)])
-    state_init = jnp.broadcast_to(
-        init_row[None, :, None], (batch * num_tiles, ns, pix))
+        kernel = functools.partial(
+            _raster_kernel, height=height, width=width, channels=channels,
+            tiles_x=tiles_x, num_tiles=num_tiles)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,      # slot_tile, slot_block, slot_dma [B*S]
-        grid=(batch * num_slots,),
-        in_specs=[
-            pl.BlockSpec((1, CHUNK, width_d),
-                         lambda s, tiles, blocks, dma: (dma[s], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ns, pix),
-                         lambda s, tiles, blocks, dma:
-                         (tiles[s], 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, ns, pix),
-                               lambda s, tiles, blocks, dma:
-                               (tiles[s], 0, 0),
-                               memory_space=pltpu.VMEM),
-    )
-    state = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (batch * num_tiles, ns, pix), jnp.float32),
-        # Input 4 = state_init (after 3 scalar-prefetch args and the face
-        # table); aliasing donates it as the output buffer.
-        input_output_aliases={4: 0},
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
-        interpret=interpret,
-    )(slot_tile, slot_block, slot_dma, face_table, state_init)
+        # Aliased init buffer: if the static slot budget ever truncates a
+        # tile's mandatory slot (pathologically incoherent draw order past
+        # the 8x slack), its state block is never visited -- with the
+        # background-init rows aliased in, such a tile degrades to
+        # background instead of decoding uninitialised memory.
+        init_row = jnp.concatenate([
+            jnp.zeros((channels + 7,), jnp.float32),
+            jnp.asarray([1.0, -1.0], jnp.float32)])
+        state_init = jnp.broadcast_to(
+            init_row[None, :, None], (batch * num_tiles, ns, pix))
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,      # slot_tile, slot_block, slot_dma
+            grid=(batch * num_slots,),
+            in_specs=[
+                pl.BlockSpec((1, CHUNK, width_d),
+                             lambda s, tiles, blocks, dma: (dma[s], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ns, pix),
+                             lambda s, tiles, blocks, dma:
+                             (tiles[s], 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, ns, pix),
+                                   lambda s, tiles, blocks, dma:
+                                   (tiles[s], 0, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        state = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (batch * num_tiles, ns, pix), jnp.float32),
+            # Input 4 = state_init (after 3 scalar-prefetch args and the
+            # face table); aliasing donates it as the output buffer.
+            input_output_aliases={4: 0},
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=interpret,
+        )(slot_tile, slot_block, slot_dma, face_table, state_init)
 
     state = state.reshape(batch, num_tiles, ns, pix)
     pixels, aux = forward_dense.finalize(state, background, height, width,

@@ -58,6 +58,11 @@ def tile_h_for(num_faces):
 # grid steps and better chunk occupancy outweigh the coarser
 # hit granularity once faces are small.
 CHUNK = int(_os.environ.get("DIRT_TPU_GRAD_BLOCKS_CHUNK", 128))
+# Fused-CSR schedule: grid (batch * blocks), in-kernel loop over the
+# block's live tile visits with double-buffered manual DMA of the plane
+# tiles -- no filler grid steps (the slot schedule pads every image to
+# the static budget) and no per-slot pipeline bookkeeping.
+FUSED = _os.environ.get("DIRT_TPU_GRAD_BLOCKS_FUSED", "1") != "0"
 
 
 def _cdiv(a, b):
@@ -89,6 +94,48 @@ def _grad_kernel(run_ref, item_ref, dma_ref, face_ref, planes_ref,
         # Shared reduction math (ops/grad_dense.chunk_sums) keeps this
         # backend's arithmetic identical to the dense kernels'.
         out_ref[0] += grad_dense.chunk_sums(col, plane, channels)
+
+
+def _grad_kernel_fused(start_ref, count_ref, tile_ids_ref, face_ref,
+                       planes_hbm, out_ref, scratch, sem, *, channels):
+    """One grid step per (batch, face block): accumulate the block's
+    [CHUNK, d_out] sums over its live tile visits, double-buffering the
+    [n_planes, pix] plane tiles HBM->VMEM (DMA for visit i+1 overlaps the
+    reduction of visit i).  Accumulation order matches the slot kernel's
+    (tiles ascending), so the two schedules agree bit-for-bit."""
+    d_out = 9 + 3 * channels
+    r = pl.program_id(0)
+    start = start_ref[r]
+    n = count_ref[r]
+
+    def get_dma(slot, i):
+        return pltpu.make_async_copy(
+            planes_hbm.at[tile_ids_ref[start + i]],
+            scratch.at[slot], sem.at[slot])
+
+    @pl.when(n > 0)
+    def _warmup():
+        get_dma(0, 0).start()
+
+    def body(i, acc):
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < n)
+        def _prefetch():
+            get_dma(1 - slot, i + 1).start()
+
+        get_dma(slot, i).wait()
+
+        def plane(j):
+            return scratch[slot, j:j + 1, :]               # [1, PIX]
+
+        def col(j):
+            return face_ref[0, :, j:j + 1]                 # [CHUNK, 1]
+
+        return acc + grad_dense.chunk_sums(col, plane, channels)
+
+    out_ref[0] = jax.lax.fori_loop(
+        0, n, body, jnp.zeros((CHUNK, d_out), jnp.float32))
 
 
 def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
@@ -158,56 +205,94 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
         # the forward pass over the same geometry (whose dilation-narrower
         # bboxes make its schedule a near-subset of this one) already
         # surfaces overflow via RasterAux.dropped before gradients run.
+        table = face_data.reshape(num_blocks, CHUNK, grad_tables._DF)
+        if FUSED:
+            starts, counts, tile_ids, _ = forward_blocks.build_runs(
+                hit.T, num_slots)
+            return table, starts, counts, tile_ids
         slot_run, slot_item, slot_dma, _ = forward_blocks.build_slots(
             hit.T, num_slots)
-        return face_data.reshape(num_blocks, CHUNK, grad_tables._DF), \
-            slot_run, slot_item, slot_dma
+        return table, slot_run, slot_item, slot_dma
 
-    face_table, slot_run, slot_item, slot_dma = jax.vmap(pack_one)(
-        vertices, faces)
+    face_table, csr_a, csr_b, csr_c = jax.vmap(pack_one)(vertices, faces)
     boff = jnp.arange(batch, dtype=jnp.int32)[:, None]
-    slot_run = (slot_run + num_blocks * boff).reshape(-1)      # [B*S]
-    slot_item = slot_item.reshape(-1)                          # active flag
-    slot_dma = (slot_dma + num_tiles * boff).reshape(-1)       # planes DMA
     face_table = face_table.reshape(
         batch * num_blocks, CHUNK, grad_tables._DF)
 
-    kernel = functools.partial(_grad_kernel, channels=channels)
+    if FUSED:
+        starts = (csr_a + num_slots * boff).reshape(-1)        # [B*NB]
+        counts = csr_b.reshape(-1)                             # [B*NB]
+        tile_ids = (csr_c + num_tiles * boff).reshape(-1)      # [B*S]
+        kernel = functools.partial(_grad_kernel_fused, channels=channels)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,   # starts, counts [B*NB], tile_ids [B*S]
+            grid=(batch * num_blocks,),
+            in_specs=[
+                pl.BlockSpec((1, CHUNK, grad_tables._DF),
+                             lambda r, starts, counts, ids: (r, 0, 0),
+                             memory_space=pltpu.VMEM),
+                # Plane tiles stay in HBM; the kernel streams the block's
+                # live visits through a double-buffered VMEM scratch.
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, CHUNK, d_out),
+                                   lambda r, starts, counts, ids: (r, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, n_planes, pix), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        face_grads = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (batch * num_blocks, CHUNK, d_out), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=interpret,
+        )(starts, counts, tile_ids, face_table, planes)
+    else:
+        slot_run = (csr_a + num_blocks * boff).reshape(-1)     # [B*S]
+        slot_item = csr_b.reshape(-1)                          # active flag
+        slot_dma = (csr_c + num_tiles * boff).reshape(-1)      # planes DMA
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,      # slot_run, slot_item, slot_dma [B*S]
-        grid=(batch * num_slots,),
-        in_specs=[
-            # Resident across the block's tile run.
-            pl.BlockSpec((1, CHUNK, grad_tables._DF),
-                         lambda s, runs, items, dma: (runs[s], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_planes, pix),
-                         lambda s, runs, items, dma: (dma[s], 0, 0),
-                         memory_space=pltpu.VMEM),
-            # Aliased zeros: a run whose mandatory slot is truncated by
-            # the static slot budget (incoherent draw order past the 8x
-            # slack) keeps zero gradients instead of decoding
-            # uninitialised memory.
-            pl.BlockSpec((1, CHUNK, d_out),
-                         lambda s, runs, items, dma: (runs[s], 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, CHUNK, d_out),
-                               lambda s, runs, items, dma: (runs[s], 0, 0),
-                               memory_space=pltpu.VMEM),
-    )
-    face_grads = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (batch * num_blocks, CHUNK, d_out), jnp.float32),
-        input_output_aliases={5: 0},
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
-        interpret=interpret,
-    )(slot_run, slot_item, slot_dma, face_table, planes,
-      jnp.zeros((batch * num_blocks, CHUNK, d_out), jnp.float32))
+        kernel = functools.partial(_grad_kernel, channels=channels)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,      # slot_run, slot_item, slot_dma [B*S]
+            grid=(batch * num_slots,),
+            in_specs=[
+                # Resident across the block's tile run.
+                pl.BlockSpec((1, CHUNK, grad_tables._DF),
+                             lambda s, runs, items, dma: (runs[s], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n_planes, pix),
+                             lambda s, runs, items, dma: (dma[s], 0, 0),
+                             memory_space=pltpu.VMEM),
+                # Aliased zeros: a run whose mandatory slot is truncated by
+                # the static slot budget (incoherent draw order past the 8x
+                # slack) keeps zero gradients instead of decoding
+                # uninitialised memory.
+                pl.BlockSpec((1, CHUNK, d_out),
+                             lambda s, runs, items, dma: (runs[s], 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, CHUNK, d_out),
+                                   lambda s, runs, items, dma: (runs[s], 0, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        face_grads = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (batch * num_blocks, CHUNK, d_out), jnp.float32),
+            input_output_aliases={5: 0},
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=interpret,
+        )(slot_run, slot_item, slot_dma, face_table, planes,
+          jnp.zeros((batch * num_blocks, CHUNK, d_out), jnp.float32))
 
     # Rows map 1:1 to faces in draw order (block nb, offset j -> nb*CHUNK+j);
     # padded tail rows are zero (their face slots have empty bboxes, so no

@@ -42,9 +42,14 @@ def full_screen_scene(num_faces):
             jnp.asarray(colors)[None], jnp.asarray(faces)[None])
 
 
-def test_blocks_slot_overflow_is_reported_and_recoverable(monkeypatch):
+@pytest.mark.parametrize("fused", [False, True])
+def test_blocks_slot_overflow_is_reported_and_recoverable(monkeypatch, fused):
+    from dirt_tpu.ops import forward_blocks
+    monkeypatch.setattr(forward_blocks, "FUSED", fused)
     bg, v, c, f = full_screen_scene(260)   # 3 blocks of 128 at the default
-    # 4 tiles x 3 blocks = 12 required slots; a budget of 6 drops 6.
+    # 4 tiles x 3 blocks = 12 required slots; a budget of 6 drops 6 (the
+    # slot schedule counts mandatory slots, the fused schedule live visits;
+    # on this every-tile-hits scene the two counts coincide).
     monkeypatch.setenv("DIRT_TPU_SLOTS_PER_IMAGE", "6")
     pixels, aux = dirt_tpu.rasterise_batch_with_aux(bg, v, c, f,
                                                     backend="blocks")

@@ -247,6 +247,29 @@ def blocks_backend_parity():
         err = np.abs(a / scale - b / scale).max()
         assert err < 1e-5, f"blocks {name}: rel err {err:.2e}"
 
+    # Fused-CSR vs slot schedules on device: the schedule change must be
+    # bitwise-invisible (same sweep expression tree, same visit order) --
+    # the strictest cross-check available for the manual-DMA kernels.
+    from dirt_tpu.ops import forward_blocks, grad_blocks
+    fwd_saved, grad_saved = forward_blocks.FUSED, grad_blocks.FUSED
+    try:
+        forward_blocks.FUSED = not fwd_saved
+        grad_blocks.FUSED = not grad_saved
+        px_o, aux_o = jax.jit(lambda b, vv, cc, ff: dispatch.forward_batch(
+            b, vv, cc, ff, "blocks"))(bg, v, c, f)
+        assert (np.asarray(px_o) == np.asarray(px_b)).all(), \
+            "fused/slot forward schedules disagree on device"
+        assert (np.asarray(aux_o.face_index)
+                == np.asarray(aux_b.face_index)).all()
+        g_o = jax.jit(lambda vv, ff, pp, gg: backward.rasterise_grad_batch(
+            vv, ff, pp, gg, aux_b, implementation="blocks"))(v, f, px_b, gp)
+        for name in ("grad_vertices", "grad_vertex_colors"):
+            assert (np.asarray(getattr(g_o, name))
+                    == np.asarray(getattr(g_b, name))).all(), \
+                f"fused/slot gradient schedules disagree on device: {name}"
+    finally:
+        forward_blocks.FUSED, grad_blocks.FUSED = fwd_saved, grad_saved
+
 
 _TEXTURED_GRAD_SNIPPET = """
 import numpy as np
