@@ -315,6 +315,13 @@ def rasterise_batch(background, vertices, vertex_colors, faces,
         starts = (csr_a + num_slots * boff).reshape(-1)        # [B*T]
         counts = csr_b.reshape(-1)                             # [B*T]
         block_ids = (csr_c + num_blocks * boff).reshape(-1)    # [B*S]
+        # Manual-DMA slices must be aligned to the f32 (8, 128) tiling on
+        # BOTH ends (Mosaic rejects a 36-lane block copy), so the fused
+        # path pads the face row to full lanes; the kernel never reads the
+        # pad columns.
+        width_dma = _cdiv(width_d, 128) * 128
+        face_table = jnp.pad(face_table,
+                             ((0, 0), (0, 0), (0, width_dma - width_d)))
         kernel = functools.partial(
             _raster_kernel_fused, height=height, width=width,
             channels=channels, tiles_x=tiles_x, num_tiles=num_tiles)
@@ -330,7 +337,7 @@ def rasterise_batch(background, vertices, vertex_colors, faces,
                                    lambda t, starts, counts, ids: (t, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, CHUNK, width_d), jnp.float32),
+                pltpu.VMEM((2, CHUNK, width_dma), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         )

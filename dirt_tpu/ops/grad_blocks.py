@@ -223,6 +223,11 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
         starts = (csr_a + num_slots * boff).reshape(-1)        # [B*NB]
         counts = csr_b.reshape(-1)                             # [B*NB]
         tile_ids = (csr_c + num_tiles * boff).reshape(-1)      # [B*S]
+        # Manual-DMA slices must be aligned to the f32 (8, 128) tiling on
+        # BOTH ends, so the fused path pads the plane stack to full
+        # sublanes; the kernel never reads the pad planes.
+        np_dma = _cdiv(n_planes, 8) * 8
+        planes = jnp.pad(planes, ((0, 0), (0, np_dma - n_planes), (0, 0)))
         kernel = functools.partial(_grad_kernel_fused, channels=channels)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,   # starts, counts [B*NB], tile_ids [B*S]
@@ -239,7 +244,7 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
                                    lambda r, starts, counts, ids: (r, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, n_planes, pix), jnp.float32),
+                pltpu.VMEM((2, np_dma, pix), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         )
