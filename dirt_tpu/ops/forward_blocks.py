@@ -347,7 +347,10 @@ def rasterise_batch(background, vertices, vertex_colors, faces,
             out_shape=jax.ShapeDtypeStruct(
                 (batch * num_tiles, ns, pix), jnp.float32),
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",)),
+                dimension_semantics=("arbitrary",),
+                # The ANY-placed face table is VMEM-resident when it fits;
+                # the 16 MB scoped default is ~1% short at the bench config.
+                vmem_limit_bytes=64 * 1024 * 1024),
             interpret=interpret,
         )(starts, counts, block_ids, face_table)
     else:

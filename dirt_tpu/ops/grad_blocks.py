@@ -254,7 +254,10 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
             out_shape=jax.ShapeDtypeStruct(
                 (batch * num_blocks, CHUNK, d_out), jnp.float32),
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",)),
+                dimension_semantics=("arbitrary",),
+                # The ANY-placed plane stack is VMEM-resident when it fits;
+                # match the forward kernel's raised scoped-VMEM limit.
+                vmem_limit_bytes=64 * 1024 * 1024),
             interpret=interpret,
         )(starts, counts, tile_ids, face_table, planes)
     else:
