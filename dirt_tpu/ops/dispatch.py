@@ -10,9 +10,11 @@ Backends:
                  (ops/forward_pallas.py); runs in interpreter mode
                  automatically off-TPU so tests exercise the kernel on CPU.
   * "reference": brute-force XLA scan (ops/reference.py), the oracle.
-  * None/"auto": on TPU, dense up to DIRT_TPU_BLOCKS_THRESHOLD faces
-                 (default 4096) then blocks; reference elsewhere (fast for
-                 CPU tests).
+  * None/"auto": on TPU, the block-binned kernel at every size (its
+                 fused-CSR schedule beat the dense kernel at every measured
+                 mesh size in the round-3 sweep); DIRT_TPU_BLOCKS_THRESHOLD
+                 can restore dense below a face count.  Reference elsewhere
+                 (fast for CPU tests).
 
 Selection can be forced globally with the DIRT_TPU_BACKEND environment
 variable.  All backends implement the fragment semantics of ops/geometry.py:
@@ -96,16 +98,18 @@ def default_backend(num_faces=None):
         return env
     if not on_accelerator():
         return "reference"
-    # The dense single-pass kernel is the production TPU forward: 4.75 ms vs
-    # 8.16 ms for the per-face kernel at the 16x256^2x512f bench scene
-    # (round 2, v5e), bit-exact winner maps on tie-free scenes.  Past the
-    # threshold, the exact per-tile binning's O(tiles x faces) gathered
-    # tables dominate memory and pack time, so large meshes switch to the
-    # block-binned kernel (O(faces) tables, per-tile block-id lists).
-    threshold = int(os.environ.get("DIRT_TPU_BLOCKS_THRESHOLD", "4096"))
-    if num_faces is not None and num_faces > threshold:
-        return "blocks"
-    return "dense"
+    # The block-binned kernel's fused-CSR schedule is the production TPU
+    # forward at EVERY mesh size (round-3 v5e sweep at 16x256^2: 2.70 ms
+    # vs the dense kernel's 3.98 at 512 faces; 7.96 vs ~13 at 2048; its
+    # O(faces) tables also dominate past 4096 faces where the dense
+    # per-tile packing's O(tiles x faces) gathers blow up).  Bit-exact
+    # winner maps vs the other backends on tie-free scenes.  A non-zero
+    # DIRT_TPU_BLOCKS_THRESHOLD restores the dense single-pass kernel for
+    # meshes at or below that face count.
+    threshold = int(os.environ.get("DIRT_TPU_BLOCKS_THRESHOLD", "0"))
+    if num_faces is not None and num_faces <= threshold:
+        return "dense"
+    return "blocks"
 
 
 def forward_batch(background, vertices, vertex_colors, faces, backend=None):

@@ -51,19 +51,37 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import forward_dense, forward_pallas, geometry, reference
 
-TILE_H = int(_os.environ.get("DIRT_TPU_BLOCKS_TILE_H", 32))
+# 0 = auto (tile_h_for / chunk_for); a non-zero env value pins it.
+TILE_H = int(_os.environ.get("DIRT_TPU_BLOCKS_TILE_H", 0))
 TILE_W = int(_os.environ.get("DIRT_TPU_BLOCKS_TILE_W", 128))
-# 128-face blocks measured fastest at both large recorded configs
-# (8192f: 167 vs 156 f/s; 65k: 18.6 vs 17.3; c32 slower): fewer
-# grid steps and better chunk occupancy outweigh the coarser
-# hit granularity once faces are small.
-CHUNK = int(_os.environ.get("DIRT_TPU_BLOCKS_CHUNK", 128))
+CHUNK = int(_os.environ.get("DIRT_TPU_BLOCKS_CHUNK", 0))
 # Fused-CSR schedule: grid (batch * tiles), in-kernel loop over the
 # tile's live face-block visits with double-buffered manual DMA -- no
 # filler grid steps and no per-slot state round trips (the z-state rides
 # the fori_loop carry in vector registers, as in forward_dense FUSED).
 FUSED = _os.environ.get("DIRT_TPU_BLOCKS_FUSED", "1") != "0"
 _BASE = forward_pallas._BASE
+
+
+def tile_h_for():
+    """Round-3 fused-schedule device sweep (v5e, 16x256^2): 4-row tiles win
+    the fused forward at every measured size -- 2.70 ms at 512 faces (vs
+    3.02 at 8 rows, 3.48 at 8x c128), 7.96 at 2048, 31.24 at 8192 -- and
+    2-row tiles lose (3.66 at 512f).  Narrow tiles shrink the per-visit
+    [CHUNK, PIX] sweep to each face's actual footprint faster than they add
+    block visits.  The slot schedule keeps its original 32 rows: its grid
+    scales with the slot count, so finer tiles multiply fixed grid-step
+    cost instead of amortising it in-kernel."""
+    return TILE_H or (4 if FUSED else 32)
+
+
+def chunk_for():
+    """64-face blocks win the fused forward at every measured size (512f:
+    2.70 vs 3.48 ms at c128; 2048f: 7.96 vs 9.23; 8192f: 31.24 vs 32.18 at
+    the winning 4-row tiles); c32 loses (2.92 at 512f).  The slot schedule
+    keeps the 128-face blocks measured fastest for it in round 2 (8192f:
+    167 vs 156 f/s; 65k: 18.6 vs 17.3)."""
+    return CHUNK or (64 if FUSED else 128)
 
 
 def _cdiv(a, b):
@@ -149,16 +167,17 @@ def hit_matrix(face_data, bbox_cols, num_blocks, chunk,
 
 def _raster_kernel(slot_tile_ref, slot_block_ref, slot_dma_ref,
                    face_ref, init_ref, state_ref,
-                   *, height, width, channels, tiles_x, num_tiles):
+                   *, height, width, channels, tiles_x, num_tiles,
+                   tile_h, tile_w):
     del slot_dma_ref  # consumed by the face BlockSpec's index_map
     del init_ref      # aliased to state_ref: overflow-safe background init
-    pix = TILE_H * TILE_W
+    pix = tile_h * tile_w
     ns = channels + 9
     s = pl.program_id(0)
     bt = slot_tile_ref[s]
     tile = jax.lax.rem(bt, num_tiles)
-    tile_row = (tile // tiles_x) * TILE_H
-    tile_col = jax.lax.rem(tile, tiles_x) * TILE_W
+    tile_row = (tile // tiles_x) * tile_h
+    tile_col = jax.lax.rem(tile, tiles_x) * tile_w
     prev_bt = slot_tile_ref[jnp.maximum(s - 1, 0)]
     first = jnp.logical_or(s == 0, bt != prev_bt)
 
@@ -169,7 +188,7 @@ def _raster_kernel(slot_tile_ref, slot_block_ref, slot_dma_ref,
     @pl.when(slot_block_ref[s] >= 0)
     def _process():
         xg, yg = forward_dense.pixel_ndc(tile_row, tile_col, height, width,
-                                         pix, TILE_W)
+                                         pix, tile_w)
 
         def col(i):
             return face_ref[0, :, i:i + 1]                  # [CHUNK, 1]
@@ -206,18 +225,19 @@ def build_runs(hit, num_slots):
 
 def _raster_kernel_fused(start_ref, count_ref, block_ids_ref, face_hbm,
                          state_ref, scratch, sem,
-                         *, height, width, channels, tiles_x, num_tiles):
+                         *, height, width, channels, tiles_x, num_tiles,
+                         tile_h, tile_w):
     """One grid step per (batch, tile): sweep the tile's live face blocks
     with the z-state in vector registers, double-buffering the [CHUNK, D]
     face blocks HBM->VMEM (the DMA for visit i+1 overlaps the sweep of
     visit i).  Sweep/merge math is shared with the dense kernels
     (bit-exact-visibility invariant)."""
-    pix = TILE_H * TILE_W
+    pix = tile_h * tile_w
     ns = channels + 9
     t = pl.program_id(0)
     tile = jax.lax.rem(t, num_tiles)
-    tile_row = (tile // tiles_x) * TILE_H
-    tile_col = jax.lax.rem(tile, tiles_x) * TILE_W
+    tile_row = (tile // tiles_x) * tile_h
+    tile_col = jax.lax.rem(tile, tiles_x) * tile_w
     start = start_ref[t]
     n = count_ref[t]
 
@@ -231,7 +251,7 @@ def _raster_kernel_fused(start_ref, count_ref, block_ids_ref, face_hbm,
         get_dma(0, 0).start()
 
     xg, yg = forward_dense.pixel_ndc(tile_row, tile_col, height, width,
-                                     pix, TILE_W)
+                                     pix, tile_w)
 
     def body(i, state):
         slot = jax.lax.rem(i, 2)
@@ -284,21 +304,23 @@ def rasterise_batch(background, vertices, vertex_colors, faces,
         return pixels0, aux0._replace(
             dropped=jnp.zeros((batch,), jnp.int32))
 
-    num_blocks = _cdiv(num_faces, CHUNK)
-    tiles_y = _cdiv(height, TILE_H)
-    tiles_x = _cdiv(width, TILE_W)
+    tile_h, tile_w = tile_h_for(), TILE_W
+    chunk = chunk_for()
+    num_blocks = _cdiv(num_faces, chunk)
+    tiles_y = _cdiv(height, tile_h)
+    tiles_x = _cdiv(width, tile_w)
     num_tiles = tiles_y * tiles_x
     num_slots = slots_per_image(num_tiles, num_blocks)
     width_d = _BASE + 3 * channels
-    pix = TILE_H * TILE_W
+    pix = tile_h * tile_w
     ns = channels + 9
 
     def pack_one(v, c, f):
         face_data = forward_pallas._face_table(
-            v, c, f, height, width, num_blocks * CHUNK - num_faces)
-        hit = hit_matrix(face_data, (20, 21, 22, 23), num_blocks, CHUNK,
-                         tiles_y, tiles_x, TILE_H, TILE_W)
-        table = face_data.reshape(num_blocks, CHUNK, width_d)
+            v, c, f, height, width, num_blocks * chunk - num_faces)
+        hit = hit_matrix(face_data, (20, 21, 22, 23), num_blocks, chunk,
+                         tiles_y, tiles_x, tile_h, tile_w)
+        table = face_data.reshape(num_blocks, chunk, width_d)
         if FUSED:
             return table, *build_runs(hit, num_slots)
         slot_tile, slot_block, slot_dma, dropped = build_slots(hit, num_slots)
@@ -309,7 +331,7 @@ def rasterise_batch(background, vertices, vertex_colors, faces,
     # Flat 1-D prefetch arrays (a >1-D trailing dim pads to 128 SMEM lanes);
     # fold the batch index into the tile/block ids so the batch is one run.
     boff = jnp.arange(batch, dtype=jnp.int32)[:, None]
-    face_table = face_table.reshape(batch * num_blocks, CHUNK, width_d)
+    face_table = face_table.reshape(batch * num_blocks, chunk, width_d)
 
     if FUSED:
         starts = (csr_a + num_slots * boff).reshape(-1)        # [B*T]
@@ -324,7 +346,8 @@ def rasterise_batch(background, vertices, vertex_colors, faces,
                              ((0, 0), (0, 0), (0, width_dma - width_d)))
         kernel = functools.partial(
             _raster_kernel_fused, height=height, width=width,
-            channels=channels, tiles_x=tiles_x, num_tiles=num_tiles)
+            channels=channels, tiles_x=tiles_x, num_tiles=num_tiles,
+            tile_h=tile_h, tile_w=tile_w)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,  # starts, counts [B*T], block_ids [B*S]
             grid=(batch * num_tiles,),
@@ -337,7 +360,7 @@ def rasterise_batch(background, vertices, vertex_colors, faces,
                                    lambda t, starts, counts, ids: (t, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, CHUNK, width_dma), jnp.float32),
+                pltpu.VMEM((2, chunk, width_dma), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         )
@@ -360,7 +383,8 @@ def rasterise_batch(background, vertices, vertex_colors, faces,
 
         kernel = functools.partial(
             _raster_kernel, height=height, width=width, channels=channels,
-            tiles_x=tiles_x, num_tiles=num_tiles)
+            tiles_x=tiles_x, num_tiles=num_tiles,
+            tile_h=tile_h, tile_w=tile_w)
 
         # Aliased init buffer: if the static slot budget ever truncates a
         # tile's mandatory slot (pathologically incoherent draw order past
@@ -377,7 +401,7 @@ def rasterise_batch(background, vertices, vertex_colors, faces,
             num_scalar_prefetch=3,      # slot_tile, slot_block, slot_dma
             grid=(batch * num_slots,),
             in_specs=[
-                pl.BlockSpec((1, CHUNK, width_d),
+                pl.BlockSpec((1, chunk, width_d),
                              lambda s, tiles, blocks, dma: (dma[s], 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, ns, pix),
@@ -406,5 +430,5 @@ def rasterise_batch(background, vertices, vertex_colors, faces,
     state = state.reshape(batch, num_tiles, ns, pix)
     pixels, aux = forward_dense.finalize(state, background, height, width,
                                          tiles_y, tiles_x,
-                                         tile_h=TILE_H, tile_w=TILE_W)
+                                         tile_h=tile_h, tile_w=tile_w)
     return pixels, aux._replace(dropped=dropped)

@@ -47,15 +47,24 @@ TILE_W = int(_os.environ.get("DIRT_TPU_GRAD_BLOCKS_TILE_W", 128))
 
 
 def tile_h_for(num_faces):
-    """Round-3 v5e sweep: 16-row tiles win at the 512-face bench config
-    (2.11 vs 2.59 ms at 32 rows) and 8-row tiles win past ~2k faces (2.96
-    vs 3.28 ms at 2048 faces, 7.12 vs 7.72 at 8192).  Smaller faces have
-    smaller bbox footprints, so finer tiles cut wasted [CHUNK, PIX] sweep
-    width faster than they add (block, tile) visits."""
-    return TILE_H or (16 if num_faces <= 1024 else 8)
-# 128-face blocks measured fastest at both large recorded configs
-# (8192f: 167 vs 156 f/s; 65k: 18.6 vs 17.3; c32 slower): fewer
-# grid steps and better chunk occupancy outweigh the coarser
+    """Round-3 v5e sweeps.  Fused schedule: 8-row tiles win at every
+    measured size (512f: 2.00-2.16 ms vs 2.21 at 16 rows; 2048f: 5.44 vs
+    6.91; 8192f: 23.5 vs 26.0) -- its in-kernel visit loop amortises the
+    extra tile visits that finer tiles add.  Slot schedule: 16-row tiles
+    win at the 512-face bench config (2.11 vs 2.59 ms at 32 rows) and
+    8-row tiles past ~2k faces (2.96 vs 3.28 at 2048, 7.12 vs 7.72 at
+    8192) -- each extra visit there costs a whole grid step.  Smaller
+    faces have smaller bbox footprints, so finer tiles cut wasted
+    [CHUNK, PIX] sweep width faster than they add (block, tile) visits."""
+    if TILE_H:
+        return TILE_H
+    if FUSED:
+        return 8
+    return 16 if num_faces <= 1024 else 8
+# 128-face blocks measured fastest at both large recorded slot configs
+# (8192f: 167 vs 156 f/s; 65k: 18.6 vs 17.3; c32 slower) AND for the
+# fused schedule (512f: 2.00 ms vs 2.33 at c64, 2.24 at c256): fewer
+# grid steps / visits and better chunk occupancy outweigh the coarser
 # hit granularity once faces are small.
 CHUNK = int(_os.environ.get("DIRT_TPU_GRAD_BLOCKS_CHUNK", 128))
 # Fused-CSR schedule: grid (batch * blocks), in-kernel loop over the

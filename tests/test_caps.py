@@ -46,6 +46,11 @@ def full_screen_scene(num_faces):
 def test_blocks_slot_overflow_is_reported_and_recoverable(monkeypatch, fused):
     from dirt_tpu.ops import forward_blocks
     monkeypatch.setattr(forward_blocks, "FUSED", fused)
+    # Pin the slot schedule's partition for both schedules: the dropped
+    # arithmetic below assumes 4 tiles x 3 blocks (the fused autos pick
+    # finer 4-row tiles / 64-face blocks, which changes both counts).
+    monkeypatch.setattr(forward_blocks, "TILE_H", 32)
+    monkeypatch.setattr(forward_blocks, "CHUNK", 128)
     bg, v, c, f = full_screen_scene(260)   # 3 blocks of 128 at the default
     # 4 tiles x 3 blocks = 12 required slots; a budget of 6 drops 6 (the
     # slot schedule counts mandatory slots, the fused schedule live visits;

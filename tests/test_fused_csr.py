@@ -67,6 +67,11 @@ def test_grad_fused_matches_slot_bitwise(monkeypatch, nf):
     pixels, aux = dispatch.forward_batch(bg, v, c, f, "dense")
     gp = jnp.asarray(np.random.RandomState(3).randn(
         *np.asarray(pixels).shape), jnp.float32)
+    # Pin one tile partition for both schedules: bit-exactness across the
+    # schedule change holds per partition (same visits, same accumulation
+    # order); the schedules' *auto* tile rows differ (8 fused vs 16 slot)
+    # and FP summation order is partition-sensitive by design.
+    monkeypatch.setattr(grad_blocks, "TILE_H", 8)
     monkeypatch.setattr(grad_blocks, "FUSED", False)
     g_s = backward.rasterise_grad_batch(v, f, pixels, gp, aux,
                                         implementation="blocks")

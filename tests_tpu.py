@@ -250,11 +250,22 @@ def blocks_backend_parity():
     # Fused-CSR vs slot schedules on device: the schedule change must be
     # bitwise-invisible (same sweep expression tree, same visit order) --
     # the strictest cross-check available for the manual-DMA kernels.
+    # The gradient's accumulation order is partition-sensitive, so pin the
+    # slot run to the fused autos' partition (the schedules' own autos
+    # differ: 8-row tiles fused vs 16 slot; t4/c64 vs t32/c128 forward).
     from dirt_tpu.ops import forward_blocks, grad_blocks
     fwd_saved, grad_saved = forward_blocks.FUSED, grad_blocks.FUSED
+    pins_saved = (forward_blocks.TILE_H, forward_blocks.CHUNK,
+                  grad_blocks.TILE_H)
+    # Resolve the partition the runs above actually used (before flipping
+    # FUSED: the autos consult it).
+    fwd_th, fwd_ck = forward_blocks.tile_h_for(), forward_blocks.chunk_for()
+    grad_th = grad_blocks.tile_h_for(f.shape[1])
     try:
         forward_blocks.FUSED = not fwd_saved
         grad_blocks.FUSED = not grad_saved
+        forward_blocks.TILE_H, forward_blocks.CHUNK = fwd_th, fwd_ck
+        grad_blocks.TILE_H = grad_th
         px_o, aux_o = jax.jit(lambda b, vv, cc, ff: dispatch.forward_batch(
             b, vv, cc, ff, "blocks"))(bg, v, c, f)
         assert (np.asarray(px_o) == np.asarray(px_b)).all(), \
@@ -269,6 +280,8 @@ def blocks_backend_parity():
                 f"fused/slot gradient schedules disagree on device: {name}"
     finally:
         forward_blocks.FUSED, grad_blocks.FUSED = fwd_saved, grad_saved
+        (forward_blocks.TILE_H, forward_blocks.CHUNK,
+         grad_blocks.TILE_H) = pins_saved
 
 
 _TEXTURED_GRAD_SNIPPET = """
