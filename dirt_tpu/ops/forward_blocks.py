@@ -27,7 +27,10 @@ The trade is block-granularity sweeping: a tile processes a whole
 CHUNK-face block when ANY member face's bbox overlaps it.  For meshes with
 draw-order spatial coherence (any sane mesh export) the extra face-visits
 are small; a randomly-permuted face order degrades towards brute force --
-the per-face-exact packing remains available as backend "dense".
+DIRT_TPU_SPATIAL_SORT=1 restores coherence for ANY draw order by Morton-
+sorting the face table before blocking (bit-exact forward output; see
+spatial_order), and the per-face-exact packing remains available as
+backend "dense".
 
 The slot list length is static: min(tiles x blocks, max(512, tiles +
 8 x max(tiles, blocks))) per image, overridable with
@@ -60,6 +63,15 @@ CHUNK = int(_os.environ.get("DIRT_TPU_BLOCKS_CHUNK", 0))
 # filler grid steps and no per-slot state round trips (the z-state rides
 # the fori_loop carry in vector registers, as in forward_dense FUSED).
 FUSED = _os.environ.get("DIRT_TPU_BLOCKS_FUSED", "1") != "0"
+# Spatial (Morton-order) face re-blocking: permute the face table so that
+# blocks group spatially-adjacent faces instead of draw-order runs, which
+# removes the "draw-order-incoherent meshes degrade towards brute force"
+# caveat of block-granularity binning.  Bit-exact for the forward: the
+# winner pick is a lexicographic (depth, original index) minimum over the
+# swept candidates (forward_dense.chunk_candidates), which is independent
+# of sweep order and partitioning, and the table rows carry their original
+# indices.  Gradient values can shift by segment-sum summation order only.
+SPATIAL = _os.environ.get("DIRT_TPU_SPATIAL_SORT", "0") != "0"
 _BASE = forward_pallas._BASE
 
 
@@ -98,6 +110,36 @@ def slots_per_image(num_runs, num_items):
         return min(num_runs * num_items, env)
     return min(num_runs * num_items,
                max(512, num_runs + 8 * max(num_runs, num_items)))
+
+
+def _morton(y, x):
+    """Interleaves the low 16 bits of two non-negative int32 coordinate
+    arrays (y gets the odd bits) -- the Z-order curve key."""
+    def spread(v):
+        v = (v | (v << 8)) & 0x00FF00FF
+        v = (v | (v << 4)) & 0x0F0F0F0F
+        v = (v | (v << 2)) & 0x33333333
+        v = (v | (v << 1)) & 0x55555555
+        return v
+    return (spread(y) << 1) | spread(x)
+
+
+def spatial_order(face_data, bbox_cols, tile_h, tile_w):
+    """Stable spatial face ordering for block binning: a permutation of the
+    table rows by the Morton code of each face's bbox-centre tile
+    coordinate, so consecutive rows (and hence CHUNK-face blocks) are
+    spatially adjacent regardless of draw order.  Faces with empty bboxes
+    (degenerate/padding) sort last; ties keep draw order (stable sort)."""
+    r0c, r1c, c0c, c1c = bbox_cols
+    i32 = lambda c: face_data[:, c].astype(jnp.int32)
+    r0, r1, c0, c1 = i32(r0c), i32(r1c), i32(c0c), i32(c1c)
+    empty = r1 < r0
+    ty = jnp.clip((r0 + r1) // 2, 0, None) // tile_h
+    tx = jnp.clip((c0 + c1) // 2, 0, None) // tile_w
+    key = _morton(jnp.clip(ty, 0, (1 << 15) - 1),
+                  jnp.clip(tx, 0, (1 << 15) - 1))
+    key = jnp.where(empty, jnp.int32(jnp.iinfo(jnp.int32).max), key)
+    return jnp.argsort(key, stable=True).astype(jnp.int32)
 
 
 def build_slots(hit, num_slots):
@@ -318,6 +360,10 @@ def rasterise_batch(background, vertices, vertex_colors, faces,
     def pack_one(v, c, f):
         face_data = forward_pallas._face_table(
             v, c, f, height, width, num_blocks * chunk - num_faces)
+        if SPATIAL:
+            order = spatial_order(face_data, (20, 21, 22, 23),
+                                  tile_h, tile_w)
+            face_data = jnp.take(face_data, order, axis=0)
         hit = hit_matrix(face_data, (20, 21, 22, 23), num_blocks, chunk,
                          tiles_y, tiles_x, tile_h, tile_w)
         table = face_data.reshape(num_blocks, chunk, width_d)

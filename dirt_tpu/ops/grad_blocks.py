@@ -206,6 +206,12 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
     def pack_one(v, f):
         face_data = grad_tables._grad_face_table(
             v, f, height, width, num_blocks * CHUNK - num_faces)
+        if forward_blocks.SPATIAL:
+            order = forward_blocks.spatial_order(
+                face_data, (0, 1, 2, 3), tile_h, TILE_W)
+            face_data = jnp.take(face_data, order, axis=0)
+        else:
+            order = jnp.arange(num_blocks * CHUNK, dtype=jnp.int32)
         hit = forward_blocks.hit_matrix(
             face_data, (0, 1, 2, 3), num_blocks, CHUNK,
             tiles_y, tiles_x, tile_h, TILE_W)
@@ -218,12 +224,13 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
         if FUSED:
             starts, counts, tile_ids, _ = forward_blocks.build_runs(
                 hit.T, num_slots)
-            return table, starts, counts, tile_ids
+            return table, starts, counts, tile_ids, order
         slot_run, slot_item, slot_dma, _ = forward_blocks.build_slots(
             hit.T, num_slots)
-        return table, slot_run, slot_item, slot_dma
+        return table, slot_run, slot_item, slot_dma, order
 
-    face_table, csr_a, csr_b, csr_c = jax.vmap(pack_one)(vertices, faces)
+    face_table, csr_a, csr_b, csr_c, row_face = jax.vmap(pack_one)(
+        vertices, faces)
     boff = jnp.arange(batch, dtype=jnp.int32)[:, None]
     face_table = face_table.reshape(
         batch * num_blocks, CHUNK, grad_tables._DF)
@@ -311,13 +318,17 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
         )(slot_run, slot_item, slot_dma, face_table, planes,
           jnp.zeros((batch * num_blocks, CHUNK, d_out), jnp.float32))
 
-    # Rows map 1:1 to faces in draw order (block nb, offset j -> nb*CHUNK+j);
+    # Rows map 1:1 to faces in table order (block nb, offset j ->
+    # row_face[nb*CHUNK+j]; the identity when spatial sorting is off);
     # padded tail rows are zero (their face slots have empty bboxes, so no
     # tile lists them) and scatter harmlessly into vertex 0.
     face_grads = face_grads.reshape(
         batch, num_blocks * CHUNK, 3, 3 + channels)
     pad_faces = num_blocks * CHUNK - num_faces
     faces_padded = jnp.pad(faces, ((0, 0), (0, pad_faces), (0, 0)))
+    if forward_blocks.SPATIAL:
+        faces_padded = jnp.take_along_axis(
+            faces_padded, row_face[:, :, None], axis=1)
     batch_offsets = (jnp.arange(batch, dtype=jnp.int32)
                      * num_vertices)[:, None, None]
     seg = (faces_padded + batch_offsets).reshape(-1)
