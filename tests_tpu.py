@@ -284,6 +284,48 @@ def blocks_backend_parity():
          grad_blocks.TILE_H) = pins_saved
 
 
+def spatial_sort_parity():
+    # Morton face re-blocking (DIRT_TPU_SPATIAL_SORT) on device: the
+    # forward must be bitwise invariant (order-independent lexicographic
+    # winner pick), gradients equal up to segment-sum summation order.
+    # The random face soup is maximally draw-order-incoherent, the regime
+    # the sort exists for.
+    from dirt_tpu.ops import forward_blocks
+    rng = np.random.RandomState(23)
+    n = 400
+    v = rng.randn(2, n, 4).astype(np.float32)
+    v[..., 3] = np.abs(v[..., 3]) + 0.5
+    f = rng.randint(0, n, size=(2, 300, 3)).astype(np.int32)
+    c = rng.uniform(size=(2, n, 3)).astype(np.float32)
+    bg = rng.uniform(size=(2, 64, 128, 3)).astype(np.float32)
+    gp = rng.randn(2, 64, 128, 3).astype(np.float32)
+    fwd = jax.jit(lambda b, vv, cc, ff: dispatch.forward_batch(
+        b, vv, cc, ff, "blocks"))
+    bwd = jax.jit(lambda vv, ff, pp, gg, aa: backward.rasterise_grad_batch(
+        vv, ff, pp, gg, aa, implementation="blocks"))
+    saved = forward_blocks.SPATIAL
+    try:
+        forward_blocks.SPATIAL = False
+        px0, aux0 = fwd(bg, v, c, f)
+        g0 = bwd(v, f, px0, gp, aux0)
+        forward_blocks.SPATIAL = True
+        px1, aux1 = fwd(bg, v, c, f)
+        g1 = bwd(v, f, px1, gp, aux1)
+    finally:
+        forward_blocks.SPATIAL = saved
+    assert (np.asarray(aux1.face_index)
+            == np.asarray(aux0.face_index)).all(), "spatial visibility"
+    np.testing.assert_array_equal(np.asarray(px1), np.asarray(px0))
+    for name in ("grad_vertices", "grad_vertex_colors"):
+        a = np.asarray(getattr(g0, name))
+        b = np.asarray(getattr(g1, name))
+        scale = max(np.abs(a).max(), 1.0)
+        err = np.abs(a / scale - b / scale).max()
+        assert err < 1e-5, f"spatial {name}: rel err {err:.2e}"
+    np.testing.assert_array_equal(np.asarray(g0.grad_background),
+                                  np.asarray(g1.grad_background))
+
+
 _TEXTURED_GRAD_SNIPPET = """
 import numpy as np
 import jax, jax.numpy as jnp
@@ -399,6 +441,7 @@ def main():
     check("closure-constant regression (fwd + grad)",
           closure_constant_regression)
     check("block-binned kernels parity (fwd + grad)", blocks_backend_parity)
+    check("spatial-sort re-blocking parity (fwd + grad)", spatial_sort_parity)
     check("textured renderer grads on device", textured_model)
     check("mosaic miscompile repro harness", mosaic_repro)
     if FAILURES:
