@@ -47,6 +47,17 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# Persistent compile cache: repeated bench runs reuse the remote-compiled
+# executables instead of paying the 5-20 min relay compile again.  NEVER
+# share a cache dir between the axon and cpu platforms (CLAUDE.md): pick by
+# the platform actually in use.
+jax.config.update(
+    'jax_compilation_cache_dir',
+    '/tmp/dirt_tpu_jax_cache_cpu' if os.environ.get('JAX_PLATFORMS') == 'cpu'
+    else '/tmp/dirt_tpu_jax_cache_tpu')
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
+
 import dirt_tpu
 from dirt_tpu import matrices
 from dirt_tpu.utils import meshes
