@@ -9,7 +9,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-jax.config.update('jax_compilation_cache_dir', '/tmp/dirt_tpu_jax_cache_tpu')
+import os as _os
+jax.config.update(
+    'jax_compilation_cache_dir',
+    '/tmp/dirt_tpu_jax_cache_cpu' if _os.environ.get('JAX_PLATFORMS') == 'cpu'
+    else '/tmp/dirt_tpu_jax_cache_tpu')
 jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
 
@@ -63,17 +67,33 @@ def run(batch, res, segments, iters=20, verify=True):
 
     short, long_ = make_runner(iters), make_runner(iters * 3)
 
-    def timed(fn, nonce):
+    def timed(fn, offs, base):
         jax.block_until_ready(fn(clip))
         times = []
-        for k in range(3):
+        for k in offs:
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(clip + nonce * (k + 1)))
+            jax.block_until_ready(fn(clip + base * k))
             times.append(time.perf_counter() - t0)
-        return min(times)
+        import statistics
+        return statistics.median(times)
 
-    t_s, t_l = timed(short, 1e-6), timed(long_, 2e-6)
-    per_step = max((t_l - t_s) / (2 * iters), 1e-9)
+    # Plausibility-gated slope, as in bench.py: a near-zero or negative
+    # slope is a relay content-cache lie, not a measurement.
+    per_step = None
+    for attempt in range(3):
+        base = 1e-6 * (10 ** attempt)
+        t_s = timed(short, range(1, 4), base)
+        t_l = timed(long_, range(4, 7), base)
+        slope = t_l - t_s
+        if slope > 0 and slope >= 0.3 * t_s:
+            per_step = slope / (2 * iters)
+            break
+        print(f"  implausible slope (t_s={t_s:.4f} t_l={t_l:.4f}); retry",
+              flush=True)
+    if per_step is None:
+        print(f"{res}x{res} b{batch} f{segments * 8}: TIMING FAILED "
+              f"({tagv})", flush=True)
+        return
     fps = batch / per_step
     print(f"{res}x{res} b{batch} f{segments * 8}: {fps:.1f} f/s/chip "
           f"({per_step * 1e3:.2f} ms/step, {tagv})", flush=True)
