@@ -35,8 +35,8 @@ REPEATS = 5
 
 def slope_time(make_runner, seed, scene, tag):
     short_fn, long_fn = make_runner(ITERS), make_runner(3 * ITERS)
-    jax.block_until_ready(short_fn(seed, *scene))
-    jax.block_until_ready(long_fn(seed, *scene))
+    B.drain(short_fn(seed, *scene))
+    B.drain(long_fn(seed, *scene))
     for attempt in range(3):
         base = 1e-6 * (10 ** attempt)
 
@@ -44,7 +44,7 @@ def slope_time(make_runner, seed, scene, tag):
             times = []
             for k in offs:
                 t0 = time.perf_counter()
-                jax.block_until_ready(fn(seed + base * k, *scene))
+                B.drain(fn(seed + base * k, *scene))
                 times.append(time.perf_counter() - t0)
             return statistics.median(times)
 

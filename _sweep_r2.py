@@ -68,11 +68,11 @@ def run(batch, res, segments, iters=20, verify=True):
     short, long_ = make_runner(iters), make_runner(iters * 3)
 
     def timed(fn, offs, base):
-        jax.block_until_ready(fn(clip))
+        B.drain(fn(clip))
         times = []
         for k in offs:
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(clip + base * k))
+            B.drain(fn(clip + base * k))
             times.append(time.perf_counter() - t0)
         import statistics
         return statistics.median(times)

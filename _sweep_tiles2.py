@@ -25,8 +25,8 @@ REPEATS = 5
 def slope_time(make_runner, seed_arg, scene, tag):
     short_fn = make_runner(ITERS)
     long_fn = make_runner(3 * ITERS)
-    jax.block_until_ready(short_fn(seed_arg, *scene))
-    jax.block_until_ready(long_fn(seed_arg, *scene))
+    B.drain(short_fn(seed_arg, *scene))
+    B.drain(long_fn(seed_arg, *scene))
     for attempt in range(3):
         base = 1e-6 * (10 ** attempt)
 
@@ -34,7 +34,7 @@ def slope_time(make_runner, seed_arg, scene, tag):
             times = []
             for k in offs:
                 t0 = time.perf_counter()
-                jax.block_until_ready(fn(seed_arg + base * k, *scene))
+                B.drain(fn(seed_arg + base * k, *scene))
                 times.append(time.perf_counter() - t0)
             return statistics.median(times)
 

@@ -78,6 +78,23 @@ def fail(message):
     sys.exit(2)
 
 
+def drain(x):
+    """Force completion of every queued execution before returning.
+
+    On the axon relay backend, ``jax.block_until_ready`` can return once the
+    execution is ENQUEUED rather than completed (observed 2026-08-18: 30-step
+    fwd+bwd scans "completing" in 60 us wall-clock with fresh inputs); only a
+    device->host transfer provably drains the pipeline.  Every timed call
+    must end with a drain so (a) the timing covers the real execution and
+    (b) the next timed call starts from an idle device.  The transfer cost
+    is constant per call and cancels in the two-length scan slope.
+    """
+    jax.block_until_ready(x)
+    for leaf in jax.tree_util.tree_leaves(x):
+        np.asarray(leaf)
+    return x
+
+
 def build_scene(batch, resolution, segments):
     rng = np.random.RandomState(0)
     vertices, faces = meshes.make_cylinder(0.5, 1.0, 0.1, 0.2, segments)
@@ -188,13 +205,13 @@ def main():
         times = []
         for nonce in nonces:
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(clip + nonce, *scene))
+            drain(fn(clip + nonce, *scene))
             times.append(time.perf_counter() - t0)
         return statistics.median(times)
 
     # Warm up / compile both executables before any timing.
-    jax.block_until_ready(short(clip, *scene))
-    jax.block_until_ready(long_(clip, *scene))
+    drain(short(clip, *scene))
+    drain(long_(clip, *scene))
 
     per_step = None
     for attempt in range(MAX_ATTEMPTS):
