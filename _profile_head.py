@@ -29,12 +29,15 @@ from dirt_tpu.ops import backward, dispatch, forward_blocks, grad_blocks
 from dirt_tpu.ops import grad_tables, forward_pallas
 import bench as B
 
-ITERS = 10
 REPEATS = 5
 
 
-def slope_time(make_runner, seed, scene, tag):
-    short_fn, long_fn = make_runner(ITERS), make_runner(3 * ITERS)
+def slope_time(make_runner, seed, scene, tag, iters=20):
+    # The scan must be long enough that per-step work dominates the constant
+    # dispatch + drain-transfer overhead, or the honest slope itself falls
+    # under the 0.3 * t_short plausibility floor: fast stages need hundreds
+    # of iterations now that every timed call pays a ~30 ms drain.
+    short_fn, long_fn = make_runner(iters), make_runner(3 * iters)
     B.drain(short_fn(seed, *scene))
     B.drain(long_fn(seed, *scene))
     for attempt in range(3):
@@ -52,7 +55,7 @@ def slope_time(make_runner, seed, scene, tag):
         t_l = timed(long_fn, range(REPEATS + 1, 2 * REPEATS + 1))
         slope = t_l - t_s
         if slope > 0 and slope >= 0.3 * t_s:
-            return slope * 1e3 / (2 * ITERS)
+            return slope * 1e3 / (2 * iters)
         print(f"  [{tag}] implausible slope; retry", flush=True)
     print(f"  [{tag}] TIMING FAILED", flush=True)
     return None
@@ -81,7 +84,7 @@ def main():
         return jax.jit(run)
 
     scene = (colors, bg, faces, weights)
-    ms = slope_time(step_runner, clip, scene, "step")
+    ms = slope_time(step_runner, clip, scene, "step", iters=20)
     print(f"full fwd+bwd step: {ms and round(ms, 2)} ms", flush=True)
 
     # --- forward alone ---
@@ -93,7 +96,7 @@ def main():
             return jax.lax.scan(body, c0, None, length=length)[0]
         return jax.jit(run)
 
-    ms = slope_time(fwd_runner, clip, scene, "fwd")
+    ms = slope_time(fwd_runner, clip, scene, "fwd", iters=40)
     print(f"forward (auto=blocks fused): {ms and round(ms, 2)} ms", flush=True)
 
     # --- backward alone (fixed aux from one forward) ---
@@ -104,11 +107,18 @@ def main():
         def run(gp0, v, f, p, a):
             def body(gp, _):
                 g = backward.rasterise_grad_batch(v, f, p, gp, a)
-                return gp + 1e-20 * g.grad_background, ()
+                # Feedback must consume EVERY output or XLA dead-code-
+                # eliminates the vertex/colour kernel work inside the scan
+                # (grad_background alone comes straight off the prepass).
+                feedback = (g.grad_background
+                            + jnp.sum(g.grad_vertices)
+                            + jnp.sum(g.grad_vertex_colors))
+                return gp + 1e-20 * feedback, ()
             return jax.lax.scan(body, gp0, None, length=length)[0]
         return jax.jit(run)
 
-    ms = slope_time(bwd_runner, weights, (clip, faces, px, aux), "bwd")
+    ms = slope_time(bwd_runner, weights, (clip, faces, px, aux), "bwd",
+                    iters=40)
     print(f"backward (auto=blocks fused): {ms and round(ms, 2)} ms",
           flush=True)
 
@@ -139,7 +149,7 @@ def main():
             return jax.lax.scan(body, c0, None, length=length)[0]
         return jax.jit(run)
 
-    ms = slope_time(pack_runner, clip, scene, "pack")
+    ms = slope_time(pack_runner, clip, scene, "pack", iters=200)
     print(f"forward pack (table+hit+runs): {ms and round(ms, 2)} ms",
           flush=True)
 
@@ -148,11 +158,20 @@ def main():
         def run(gp0, p, a):
             def body(gp, _):
                 pre = backward.grad_prepass(p, gp, a)
-                return gp + 1e-20 * pre.ax[..., None], ()
+                # Consume every prepass product or the dilation work is
+                # dead-code-eliminated inside the scan.
+                feedback = (pre.ax + pre.ay + pre.px_t + pre.py_t
+                            + jnp.sum(pre.bary_d, -1)
+                            + pre.face_d.astype(jnp.float32)
+                            + jnp.sum(pre.bary_pre, -1)
+                            + pre.face_pre.astype(jnp.float32)
+                            + jnp.sum(pre.grad_background, -1))
+                return gp + 1e-20 * feedback[..., None], ()
             return jax.lax.scan(body, gp0, None, length=length)[0]
         return jax.jit(run)
 
-    ms = slope_time(pre_runner, weights, (px, aux), "prepass")
+    ms = slope_time(pre_runner, weights, (px, aux), "prepass",
+                    iters=200)
     print(f"grad prepass (Scharr+dilate): {ms and round(ms, 2)} ms",
           flush=True)
 
@@ -183,7 +202,7 @@ def main():
             return jax.lax.scan(body, c0, None, length=length)[0]
         return jax.jit(run)
 
-    ms = slope_time(gpack_runner, clip, (faces,), "gpack")
+    ms = slope_time(gpack_runner, clip, (faces,), "gpack", iters=200)
     print(f"grad pack (table+hit+runs): {ms and round(ms, 2)} ms", flush=True)
 
 
