@@ -104,21 +104,22 @@ def main():
         clip)
 
     def bwd_runner(length):
-        def run(gp0, v, f, p, a):
-            def body(gp, _):
-                g = backward.rasterise_grad_batch(v, f, p, gp, a)
-                # Feedback must consume EVERY output or XLA dead-code-
-                # eliminates the vertex/colour kernel work inside the scan
-                # (grad_background alone comes straight off the prepass).
-                feedback = (g.grad_background
+        # SCALAR carry: the drain transfer must move bytes, not a 12.6 MB
+        # cotangent (relay transfer jitter defeats the slope gate), and the
+        # feedback must consume EVERY output or XLA dead-code-eliminates
+        # the kernel work inside the scan.
+        def run(c0, gp0, v, f, p, a):
+            def body(c, _):
+                g = backward.rasterise_grad_batch(v, f, p, gp0 + 1e-20 * c, a)
+                feedback = (jnp.sum(g.grad_background)
                             + jnp.sum(g.grad_vertices)
                             + jnp.sum(g.grad_vertex_colors))
-                return gp + 1e-20 * feedback, ()
-            return jax.lax.scan(body, gp0, None, length=length)[0]
+                return c + 1e-20 * feedback, ()
+            return jax.lax.scan(body, c0, None, length=length)[0]
         return jax.jit(run)
 
-    ms = slope_time(bwd_runner, weights, (clip, faces, px, aux), "bwd",
-                    iters=40)
+    ms = slope_time(bwd_runner, jnp.float32(0.0),
+                    (weights, clip, faces, px, aux), "bwd", iters=40)
     print(f"backward (auto=blocks fused): {ms and round(ms, 2)} ms",
           flush=True)
 
@@ -155,23 +156,24 @@ def main():
 
     # --- grad prepass alone (Scharr + dilation + plane build) ---
     def pre_runner(length):
-        def run(gp0, p, a):
-            def body(gp, _):
-                pre = backward.grad_prepass(p, gp, a)
-                # Consume every prepass product or the dilation work is
-                # dead-code-eliminated inside the scan.
-                feedback = (pre.ax + pre.ay + pre.px_t + pre.py_t
-                            + jnp.sum(pre.bary_d, -1)
-                            + pre.face_d.astype(jnp.float32)
-                            + jnp.sum(pre.bary_pre, -1)
-                            + pre.face_pre.astype(jnp.float32)
-                            + jnp.sum(pre.grad_background, -1))
-                return gp + 1e-20 * feedback[..., None], ()
-            return jax.lax.scan(body, gp0, None, length=length)[0]
+        # Scalar carry (drain-transfer size) + feedback over every product
+        # (defeat dead-code elimination), as for bwd_runner.
+        def run(c0, gp0, p, a):
+            def body(c, _):
+                pre = backward.grad_prepass(p, gp0 + 1e-20 * c, a)
+                feedback = jnp.sum(
+                    pre.ax + pre.ay + pre.px_t + pre.py_t
+                    + jnp.sum(pre.bary_d, -1)
+                    + pre.face_d.astype(jnp.float32)
+                    + jnp.sum(pre.bary_pre, -1)
+                    + pre.face_pre.astype(jnp.float32)
+                    + jnp.sum(pre.grad_background, -1))
+                return c + 1e-20 * feedback, ()
+            return jax.lax.scan(body, c0, None, length=length)[0]
         return jax.jit(run)
 
-    ms = slope_time(pre_runner, weights, (px, aux), "prepass",
-                    iters=200)
+    ms = slope_time(pre_runner, jnp.float32(0.0), (weights, px, aux),
+                    "prepass", iters=200)
     print(f"grad prepass (Scharr+dilate): {ms and round(ms, 2)} ms",
           flush=True)
 

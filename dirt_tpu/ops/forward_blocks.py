@@ -71,7 +71,12 @@ FUSED = _os.environ.get("DIRT_TPU_BLOCKS_FUSED", "1") != "0"
 # swept candidates (forward_dense.chunk_candidates), which is independent
 # of sweep order and partitioning, and the table rows carry their original
 # indices.  Gradient values can shift by segment-sum summation order only.
-SPATIAL = _os.environ.get("DIRT_TPU_SPATIAL_SORT", "0") != "0"
+# Default ON since the round-3 device A/B: neutral on coherent draw orders
+# (4.94 vs 4.96 ms at the bench config), 1.4-1.5x on permuted ones, and a
+# CORRECTNESS fix at 8192 permuted faces, where the unsorted schedule
+# overflows the slot budget (1149 dropped slots -> 225 wrong pixels) while
+# the sorted one drops nothing and matches the reference backend exactly.
+SPATIAL = _os.environ.get("DIRT_TPU_SPATIAL_SORT", "1") != "0"
 _BASE = forward_pallas._BASE
 
 

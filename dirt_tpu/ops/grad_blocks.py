@@ -39,7 +39,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from . import backward, forward_blocks, grad_dense, grad_tables
+from . import backward, forward_blocks, grad_dense, grad_tables, prepass_fused
 
 # 0 = auto (tile_h_for); a non-zero env value pins the row count.
 TILE_H = int(_os.environ.get("DIRT_TPU_GRAD_BLOCKS_TILE_H", 0))
@@ -72,6 +72,12 @@ CHUNK = int(_os.environ.get("DIRT_TPU_GRAD_BLOCKS_CHUNK", 128))
 # tiles -- no filler grid steps (the slot schedule pads every image to
 # the static budget) and no per-slot pipeline bookkeeping.
 FUSED = _os.environ.get("DIRT_TPU_GRAD_BLOCKS_FUSED", "1") != "0"
+# Fused Pallas pre-pass (ops/prepass_fused.py): Scharr + dilation +
+# viewport factors + the tile-major plane-stack layout in one
+# VMEM-resident kernel instead of ~10 XLA HBM round trips.  Falls back
+# to backward.grad_prepass when the image exceeds the kernel's VMEM
+# budget or the tile grid does not divide it.
+PREPASS = _os.environ.get("DIRT_TPU_FUSED_PREPASS", "1") != "0"
 
 
 def _cdiv(a, b):
@@ -175,8 +181,6 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
             debug=backward.debug_image(
                 jnp.zeros((batch, height, width), bool), grad_pixels))
 
-    pre = backward.grad_prepass(pixels, grad_pixels, aux)
-
     num_blocks = _cdiv(num_faces, CHUNK)
     tile_h = tile_h_for(num_faces)
     tiles_y = _cdiv(height, tile_h)
@@ -187,21 +191,35 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
     pix = tile_h * TILE_W
     n_planes = 12 + channels
     d_out = 9 + 3 * channels
+    np_dma = _cdiv(n_planes, 8) * 8
 
-    f32 = lambda a: a.astype(jnp.float32)
-    planes = jnp.concatenate([
-        jnp.stack([pre.ax, pre.ay, pre.px_t, pre.py_t], axis=1),
-        jnp.moveaxis(pre.bary_d, -1, 1),
-        f32(pre.face_d)[:, None],
-        jnp.moveaxis(pre.bary_pre, -1, 1),
-        f32(pre.face_pre)[:, None],
-        jnp.moveaxis(grad_pixels, -1, 1),
-    ], axis=1)                                        # [B, NP, H, W]
-    planes = jnp.pad(planes, ((0, 0), (0, 0), (0, hp - height),
-                              (0, wp - width)))
-    planes = planes.reshape(batch, n_planes, tiles_y, tile_h, tiles_x, TILE_W)
-    planes = planes.transpose(0, 2, 4, 1, 3, 5).reshape(
-        batch * num_tiles, n_planes, pix)
+    fused_pre = (FUSED and PREPASS and prepass_fused.supported(
+        height, width, channels, tile_h, TILE_W, np_dma))
+    if fused_pre:
+        planes, dilated = prepass_fused.plane_stack(
+            pixels, grad_pixels, aux, tile_h, TILE_W, np_dma,
+            interpret=interpret)
+        covered_pre = aux.indices[..., 0] >= 0
+        grad_background = jnp.where(covered_pre[..., None], 0.0, grad_pixels)
+    else:
+        pre = backward.grad_prepass(pixels, grad_pixels, aux)
+        grad_background, dilated = pre.grad_background, pre.dilated
+
+        f32 = lambda a: a.astype(jnp.float32)
+        planes = jnp.concatenate([
+            jnp.stack([pre.ax, pre.ay, pre.px_t, pre.py_t], axis=1),
+            jnp.moveaxis(pre.bary_d, -1, 1),
+            f32(pre.face_d)[:, None],
+            jnp.moveaxis(pre.bary_pre, -1, 1),
+            f32(pre.face_pre)[:, None],
+            jnp.moveaxis(grad_pixels, -1, 1),
+        ], axis=1)                                    # [B, NP, H, W]
+        planes = jnp.pad(planes, ((0, 0), (0, 0), (0, hp - height),
+                                  (0, wp - width)))
+        planes = planes.reshape(
+            batch, n_planes, tiles_y, tile_h, tiles_x, TILE_W)
+        planes = planes.transpose(0, 2, 4, 1, 3, 5).reshape(
+            batch * num_tiles, n_planes, pix)
 
     def pack_one(v, f):
         face_data = grad_tables._grad_face_table(
@@ -241,9 +259,11 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
         tile_ids = (csr_c + num_tiles * boff).reshape(-1)      # [B*S]
         # Manual-DMA slices must be aligned to the f32 (8, 128) tiling on
         # BOTH ends, so the fused path pads the plane stack to full
-        # sublanes; the kernel never reads the pad planes.
-        np_dma = _cdiv(n_planes, 8) * 8
-        planes = jnp.pad(planes, ((0, 0), (0, np_dma - n_planes), (0, 0)))
+        # sublanes; the kernel never reads the pad planes.  The fused
+        # pre-pass emits the stack already padded and tile-major.
+        if not fused_pre:
+            planes = jnp.pad(planes,
+                             ((0, 0), (0, np_dma - n_planes), (0, 0)))
         kernel = functools.partial(_grad_kernel_fused, channels=channels)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,   # starts, counts [B*NB], tile_ids [B*S]
@@ -342,6 +362,6 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
         jnp.zeros_like(summed[..., 0]), summed[..., 2],
     ], axis=-1)
     grad_vertex_colors = summed[..., 3:]
-    debug = backward.debug_image(pre.dilated, grad_pixels)
+    debug = backward.debug_image(dilated, grad_pixels)
     return backward.RasteriseGrads(
-        pre.grad_background, grad_vertices, grad_vertex_colors, debug)
+        grad_background, grad_vertices, grad_vertex_colors, debug)

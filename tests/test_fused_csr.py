@@ -70,8 +70,12 @@ def test_grad_fused_matches_slot_bitwise(monkeypatch, nf):
     # Pin one tile partition for both schedules: bit-exactness across the
     # schedule change holds per partition (same visits, same accumulation
     # order); the schedules' *auto* tile rows differ (8 fused vs 16 slot)
-    # and FP summation order is partition-sensitive by design.
+    # and FP summation order is partition-sensitive by design.  Pin the XLA
+    # pre-pass too: only the fused schedule can use the fused Pallas
+    # pre-pass, whose magnitude planes round differently (test_prepass_fused
+    # covers that comparison).
     monkeypatch.setattr(grad_blocks, "TILE_H", 8)
+    monkeypatch.setattr(grad_blocks, "PREPASS", False)
     monkeypatch.setattr(grad_blocks, "FUSED", False)
     g_s = backward.rasterise_grad_batch(v, f, pixels, gp, aux,
                                         implementation="blocks")
