@@ -137,7 +137,8 @@ def main():
                 v, c, f, height, width, num_blocks * chunk - num_faces)
             hit = forward_blocks.hit_matrix(
                 fd, (20, 21, 22, 23), num_blocks, chunk,
-                tiles_y, tiles_x, tile_h, tile_w)
+                tiles_y, tiles_x, tile_h, tile_w,
+                edge_cols=0, height=height, width=width)
             t = fd.reshape(num_blocks, chunk, -1)
             return t, *forward_blocks.build_runs(hit, num_slots)
 
@@ -191,7 +192,8 @@ def main():
                 v, f, height, width, g_blocks * g_chunk - num_faces)
             hit = forward_blocks.hit_matrix(
                 fd, (0, 1, 2, 3), g_blocks, g_chunk,
-                g_ty, g_tx, g_tile_h, grad_blocks.TILE_W)
+                g_ty, g_tx, g_tile_h, grad_blocks.TILE_W,
+                edge_cols=12, height=height, width=width, dilate=1)
             t = fd.reshape(g_blocks, g_chunk, -1)
             return t, *forward_blocks.build_runs(hit.T, g_slots)
 

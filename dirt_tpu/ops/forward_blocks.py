@@ -77,6 +77,10 @@ FUSED = _os.environ.get("DIRT_TPU_BLOCKS_FUSED", "1") != "0"
 # overflows the slot budget (1149 dropped slots -> 225 wrong pixels) while
 # the sorted one drops nothing and matches the reference backend exactly.
 SPATIAL = _os.environ.get("DIRT_TPU_SPATIAL_SORT", "1") != "0"
+# Exact half-plane tile culling in the binning pre-pass (_edge_keep):
+# refines the bbox hit test so thin/diagonal faces stop visiting the empty
+# corners of their bboxes.  Conservative by an 8-ulp edge-function margin.
+EDGE_CULL = _os.environ.get("DIRT_TPU_EDGE_CULL", "1") != "0"
 _BASE = forward_pallas._BASE
 
 
@@ -197,9 +201,59 @@ def build_slots(hit, num_slots):
     return slot_tile, slot_block, slot_dma, dropped
 
 
+def _edge_keep(face_data, edge_cols, tiles_y, tiles_x, tile_h, tile_w,
+               height, width, dilate):
+    """[Ty, Tx, F] bool: the face's edge-sign regions can reach the tile.
+
+    Coverage (geometry.fragment_cover_depth) requires all three edge
+    functions >= 0 or all <= 0 at a pixel centre; E_i is linear in NDC, so
+    its extreme over the tile's pixel-centre rectangle sits at a corner.
+    A tile is culled iff some edge is strictly negative everywhere AND some
+    edge is strictly positive everywhere (then neither sign branch can
+    accept any pixel).  An 8-ulp margin on |a| + |b| + |c| absorbs the
+    rounding of both this corner evaluation and the kernel's per-pixel
+    evaluation, so E == 0 fill-rule pixels can never be culled.  `dilate`
+    extends the rectangle by whole pixels (the gradient kernels' support is
+    coverage dilated one pixel along an axis).
+    """
+    c_lo = jnp.arange(tiles_x, dtype=jnp.float32) * tile_w - dilate
+    c_hi = c_lo + (tile_w - 1) + 2 * dilate
+    r_lo = jnp.arange(tiles_y, dtype=jnp.float32) * tile_h - dilate
+    r_hi = r_lo + (tile_h - 1) + 2 * dilate
+    x_lo = (c_lo + 0.5) * (2.0 / width) - 1.0     # x_ndc increases with col
+    x_hi = (c_hi + 0.5) * (2.0 / width) - 1.0
+    y_hi = 1.0 - (r_lo + 0.5) * (2.0 / height)    # y_ndc decreases with row
+    y_lo = 1.0 - (r_hi + 0.5) * (2.0 / height)
+
+    any_max_neg = jnp.zeros((tiles_y, tiles_x, 1), bool)
+    any_min_pos = jnp.zeros((tiles_y, tiles_x, 1), bool)
+    for i in range(3):
+        a = face_data[:, edge_cols + 3 * i]                   # [F]
+        b = face_data[:, edge_cols + 3 * i + 1]
+        c = face_data[:, edge_cols + 3 * i + 2]
+        margin = (2.0 ** -20) * (jnp.abs(a) + jnp.abs(b) + jnp.abs(c))
+        ax_max = a * jnp.where(a[None] > 0, x_hi[:, None], x_lo[:, None])
+        ax_min = a * jnp.where(a[None] > 0, x_lo[:, None], x_hi[:, None])
+        by_max = b * jnp.where(b[None] > 0, y_hi[:, None], y_lo[:, None])
+        by_min = b * jnp.where(b[None] > 0, y_lo[:, None], y_hi[:, None])
+        emax = by_max[:, None, :] + (ax_max + c)[None]        # [Ty, Tx, F]
+        emin = by_min[:, None, :] + (ax_min + c)[None]
+        any_max_neg = any_max_neg | (emax < -margin)
+        any_min_pos = any_min_pos | (emin > margin)
+    return jnp.logical_not(any_max_neg & any_min_pos)
+
+
 def hit_matrix(face_data, bbox_cols, num_blocks, chunk,
-               tiles_y, tiles_x, tile_h, tile_w):
-    """[T, NB] bool: block hits tile iff any member face's bbox overlaps."""
+               tiles_y, tiles_x, tile_h, tile_w,
+               edge_cols=None, height=None, width=None, dilate=0):
+    """[T, NB] bool: block hits tile iff any member face's bbox overlaps.
+
+    With `edge_cols` (column of the first edge coefficient; 9 consecutive
+    a,b,c per edge) the bbox test is refined by the exact half-plane cull
+    (_edge_keep): a block visits a tile only if some member face's
+    edge-sign regions can actually reach it -- a large visit reduction for
+    thin/diagonal faces whose bboxes are mostly empty space.
+    """
     r0c, r1c, c0c, c1c = bbox_cols
     tile_r0 = jnp.arange(tiles_y, dtype=jnp.int32) * tile_h
     tile_c0 = jnp.arange(tiles_x, dtype=jnp.int32) * tile_w
@@ -207,8 +261,12 @@ def hit_matrix(face_data, bbox_cols, num_blocks, chunk,
                 & (face_data[None, :, r1c] >= tile_r0[:, None]))
     hit_cols = ((face_data[None, :, c0c] <= (tile_c0 + tile_w - 1)[:, None])
                 & (face_data[None, :, c1c] >= tile_c0[:, None]))
-    overlap = (hit_rows[:, None, :] & hit_cols[None, :, :]).reshape(
-        tiles_y * tiles_x, num_blocks, chunk)
+    overlap = hit_rows[:, None, :] & hit_cols[None, :, :]    # [Ty, Tx, F]
+    if edge_cols is not None and EDGE_CULL:
+        overlap = overlap & _edge_keep(
+            face_data, edge_cols, tiles_y, tiles_x, tile_h, tile_w,
+            height, width, dilate)
+    overlap = overlap.reshape(tiles_y * tiles_x, num_blocks, chunk)
     return jnp.any(overlap, axis=-1)
 
 
@@ -370,7 +428,8 @@ def rasterise_batch(background, vertices, vertex_colors, faces,
                                   tile_h, tile_w)
             face_data = jnp.take(face_data, order, axis=0)
         hit = hit_matrix(face_data, (20, 21, 22, 23), num_blocks, chunk,
-                         tiles_y, tiles_x, tile_h, tile_w)
+                         tiles_y, tiles_x, tile_h, tile_w,
+                         edge_cols=0, height=height, width=width)
         table = face_data.reshape(num_blocks, chunk, width_d)
         if FUSED:
             return table, *build_runs(hit, num_slots)

@@ -230,9 +230,13 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
             face_data = jnp.take(face_data, order, axis=0)
         else:
             order = jnp.arange(num_blocks * CHUNK, dtype=jnp.int32)
+        # dilate=1: the gradient support is rasterised coverage dilated one
+        # pixel along an axis (occluder adoption), so the half-plane cull
+        # tests a one-pixel-wider rectangle.
         hit = forward_blocks.hit_matrix(
             face_data, (0, 1, 2, 3), num_blocks, CHUNK,
-            tiles_y, tiles_x, tile_h, TILE_W)
+            tiles_y, tiles_x, tile_h, TILE_W,
+            edge_cols=12, height=height, width=width, dilate=1)
         # Transposed CSR: runs are blocks, items are tiles.  The dropped
         # count is discarded here: the gradient side has no aux channel, and
         # the forward pass over the same geometry (whose dilation-narrower

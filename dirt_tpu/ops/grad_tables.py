@@ -16,7 +16,10 @@ import jax.numpy as jnp
 from . import forward_pallas, geometry
 
 _BIG = forward_pallas._BIG
-_DF = 12   # face-table floats: bbox(4), orig idx, valid, corner x0 y0 x1 y1 x2 y2
+# Face-table floats: bbox(4), orig idx, valid, corner x0 x1 x2 y0 y1 y2,
+# then the 9 edge coefficients (cols 12-20, for the binning half-plane
+# cull only -- the gradient kernels never read past col 11).
+_DF = 21
 
 
 def _grad_face_table(vertices, faces, height, width, pad_rows):
@@ -58,6 +61,7 @@ def _grad_face_table(vertices, faces, height, width, pad_rows):
         f32(valid)[:, None],
         corners[..., 0],    # x0 x1 x2
         corners[..., 1],    # y0 y1 y2
+        setup.e.reshape(num_faces, 9),
     ], axis=1)
     pad_value = jnp.zeros((_DF,), jnp.float32).at[0].set(float(_BIG)).at[
         2].set(float(_BIG)).at[1].set(-1.0).at[3].set(-1.0).at[4].set(-1.0)
