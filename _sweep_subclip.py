@@ -1,0 +1,95 @@
+"""Device A/B for per-visit sub-chunk range clipping in the fused-CSR
+forward (DIRT_TPU_SUBCLIP).
+
+The fused forward sweeps a whole [CHUNK=64, PIX] plane per (tile, block)
+visit; with Morton-sorted blocks most of the 64 face rows cannot reach a
+4x128 tile.  The pre-pass now records the live 8-face sub-chunk range per
+visit and the kernel sweeps only [lo, hi) with dynamic fori bounds
+(sub-chunks on an untiled leading axis).  Output is bit-exact vs the
+full-block sweep (partition-independent lexicographic merge) -- this
+script verifies that on device and times both variants.
+
+Usage (repo root, TPU env untouched):  python _sweep_subclip.py
+"""
+import statistics
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update('jax_compilation_cache_dir', '/tmp/dirt_tpu_jax_cache_tpu')
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
+
+from dirt_tpu.ops import dispatch, forward_blocks
+import bench as B
+
+ITERS = 6
+REPEATS = 5
+
+
+def slope_time(make_runner, seed_arg, scene, tag):
+    short_fn = make_runner(ITERS)
+    long_fn = make_runner(3 * ITERS)
+    B.drain(short_fn(seed_arg, *scene))
+    B.drain(long_fn(seed_arg, *scene))
+    for attempt in range(3):
+        base = 1e-6 * (10 ** attempt)
+
+        def timed(fn, offs):
+            times = []
+            for k in offs:
+                t0 = time.perf_counter()
+                B.drain(fn(seed_arg + base * k, *scene))
+                times.append(time.perf_counter() - t0)
+            return statistics.median(times)
+
+        t_s = timed(short_fn, range(1, REPEATS + 1))
+        t_l = timed(long_fn, range(REPEATS + 1, 2 * REPEATS + 1))
+        slope = t_l - t_s
+        if slope > 0 and slope >= 0.3 * t_s:
+            return slope * 1e3 / (2 * ITERS)
+        print(f"  [{tag}] implausible slope; retry", flush=True)
+    print(f"  [{tag}] TIMING FAILED", flush=True)
+    return None
+
+
+def probe(segments):
+    batch, res = 16, 256
+    bg, clip, colors, faces, weights = B.build_scene(batch, res, segments)
+    num_faces = faces.shape[1]
+    print(f"=== {num_faces} faces ===", flush=True)
+    forward_blocks.FUSED = True
+    ref = None
+
+    def fwd_runner(length):
+        def run(c0, bg_a, col_a, f_a, w_a):
+            def body(c, _):
+                p, _ = dispatch.forward_batch(bg_a, c, col_a, f_a, "blocks")
+                return c + 1e-20 * jnp.sum(p * w_a), ()
+            return jax.lax.scan(body, c0, None, length=length)[0]
+        return jax.jit(run)
+
+    for sub in (False, True):
+        forward_blocks.SUBCLIP = sub
+        p, a = jax.jit(lambda c: dispatch.forward_batch(
+            bg[:1], c, colors[:1], faces[:1], "blocks"))(clip[:1])
+        cur = (np.asarray(p), np.asarray(a.face_index))
+        if ref is None:
+            ref, tag = cur, "ref"
+        else:
+            tag = ("BIT-EXACT" if all(np.array_equal(x, y)
+                                      for x, y in zip(ref, cur))
+                   else "PARITY-FAIL")
+        ms = slope_time(fwd_runner, clip, (bg, colors, faces, weights),
+                        f"fwd sub={sub}")
+        print(f"fwd blocks-fused subclip={int(sub)}: "
+              f"{ms if ms is None else round(ms, 2)} ms ({tag})", flush=True)
+    forward_blocks.SUBCLIP = True
+
+
+if __name__ == "__main__":
+    probe(64)      # bench config: 512 faces
+    probe(256)     # 2048 faces
+    print("done", flush=True)

@@ -81,6 +81,14 @@ SPATIAL = _os.environ.get("DIRT_TPU_SPATIAL_SORT", "1") != "0"
 # refines the bbox hit test so thin/diagonal faces stop visiting the empty
 # corners of their bboxes.  Conservative by an 8-ulp edge-function margin.
 EDGE_CULL = _os.environ.get("DIRT_TPU_EDGE_CULL", "1") != "0"
+# Per-visit sub-chunk range clipping (fused schedule only): the binning
+# pre-pass records, for every (tile, block) visit, the range of live
+# 8-face sub-chunks (f32 sublane granularity), and the kernel sweeps only
+# that range with dynamic fori_loop bounds -- the faces outside it cannot
+# reach the tile (same conservative bbox+half-plane test that gates whole
+# blocks).  Bit-exact: the lexicographic merge is partition-independent.
+SUBCLIP = _os.environ.get("DIRT_TPU_SUBCLIP", "1") != "0"
+SUB = 8                  # sub-chunk height = the f32 sublane tile
 _BASE = forward_pallas._BASE
 
 
@@ -245,7 +253,8 @@ def _edge_keep(face_data, edge_cols, tiles_y, tiles_x, tile_h, tile_w,
 
 def hit_matrix(face_data, bbox_cols, num_blocks, chunk,
                tiles_y, tiles_x, tile_h, tile_w,
-               edge_cols=None, height=None, width=None, dilate=0):
+               edge_cols=None, height=None, width=None, dilate=0,
+               sub_chunk=None):
     """[T, NB] bool: block hits tile iff any member face's bbox overlaps.
 
     With `edge_cols` (column of the first edge coefficient; 9 consecutive
@@ -267,7 +276,18 @@ def hit_matrix(face_data, bbox_cols, num_blocks, chunk,
             face_data, edge_cols, tiles_y, tiles_x, tile_h, tile_w,
             height, width, dilate)
     overlap = overlap.reshape(tiles_y * tiles_x, num_blocks, chunk)
-    return jnp.any(overlap, axis=-1)
+    if sub_chunk is None:
+        return jnp.any(overlap, axis=-1)
+    # Sub-chunk refinement: live-range [lo, hi) of `sub_chunk`-face groups
+    # per (tile, block), for the fused kernel's clipped sweep.
+    n_sub = chunk // sub_chunk
+    sub_hit = jnp.any(
+        overlap.reshape(-1, num_blocks, n_sub, sub_chunk), axis=-1)
+    hit = jnp.any(sub_hit, axis=-1)                          # [T, NB]
+    s = jnp.arange(n_sub, dtype=jnp.int32)
+    lo = jnp.min(jnp.where(sub_hit, s, n_sub), axis=-1)
+    hi = jnp.max(jnp.where(sub_hit, s + 1, 0), axis=-1)
+    return hit, lo.astype(jnp.int32), hi.astype(jnp.int32)
 
 
 def _raster_kernel(slot_tile_ref, slot_block_ref, slot_dma_ref,
@@ -307,13 +327,17 @@ def _raster_kernel(slot_tile_ref, slot_block_ref, slot_dma_ref,
             state_ref[0], cand, best_depth, best_orig, ns)
 
 
-def build_runs(hit, num_slots):
+def build_runs(hit, num_slots, sub_lo=None, sub_hi=None):
     """Fused-CSR schedule for one image from the [R, I] bool hit matrix:
     (starts [R], counts [R], item_ids [S], dropped []) i32.  Run r's live
     items (ascending draw order) occupy item_ids[starts[r] : starts[r] +
     counts[r]]; zero-hit runs need no slot (the fused kernels initialise
     their output unconditionally).  Tail truncation by the static budget
-    clamps the last runs' counts and is counted in ``dropped``."""
+    clamps the last runs' counts and is counted in ``dropped``.
+
+    With `sub_lo`/`sub_hi` ([R, I] per-pair live sub-chunk ranges from
+    hit_matrix(sub_chunk=...)) an extra `sub_ids` [S] array is returned
+    after item_ids, packing each slot's range as lo * 256 + hi."""
     num_runs, num_items = hit.shape
     n = jnp.sum(hit, axis=1).astype(jnp.int32)             # [R]
     starts = jnp.cumsum(n) - n                             # exclusive prefix
@@ -325,18 +349,32 @@ def build_runs(hit, num_slots):
         pos.reshape(-1)].set(order.reshape(-1), mode="drop")
     dropped = jnp.maximum(jnp.sum(n) - num_slots, 0)
     counts = jnp.minimum(n, jnp.maximum(num_slots - starts, 0))
-    return starts, counts, item_ids, dropped
+    if sub_lo is None:
+        return starts, counts, item_ids, dropped
+    sub = jnp.take_along_axis(sub_lo * 256 + sub_hi, order, axis=1)
+    sub_ids = jnp.zeros((num_slots,), jnp.int32).at[
+        pos.reshape(-1)].set(sub.reshape(-1), mode="drop")
+    return starts, counts, item_ids, sub_ids, dropped
 
 
-def _raster_kernel_fused(start_ref, count_ref, block_ids_ref, face_hbm,
-                         state_ref, scratch, sem,
-                         *, height, width, channels, tiles_x, num_tiles,
-                         tile_h, tile_w):
+def _raster_kernel_fused(start_ref, count_ref, block_ids_ref, *rest,
+                         height, width, channels, tiles_x, num_tiles,
+                         tile_h, tile_w, sub_clip):
     """One grid step per (batch, tile): sweep the tile's live face blocks
     with the z-state in vector registers, double-buffering the [CHUNK, D]
     face blocks HBM->VMEM (the DMA for visit i+1 overlaps the sweep of
     visit i).  Sweep/merge math is shared with the dense kernels
-    (bit-exact-visibility invariant)."""
+    (bit-exact-visibility invariant).
+
+    With `sub_clip` the face blocks arrive as [n_sub, SUB, D] (sub-chunks
+    on an untiled leading axis) and each visit sweeps only its live
+    sub-chunk range [lo, hi) from sub_ids_ref -- the clipped faces cannot
+    reach the tile, and the lexicographic merge is partition-independent,
+    so the output is bit-exact vs the full-block sweep."""
+    if sub_clip:
+        sub_ids_ref, face_hbm, state_ref, scratch, sem = rest
+    else:
+        face_hbm, state_ref, scratch, sem = rest
     pix = tile_h * tile_w
     ns = channels + 9
     t = pl.program_id(0)
@@ -367,13 +405,28 @@ def _raster_kernel_fused(start_ref, count_ref, block_ids_ref, face_hbm,
 
         get_dma(slot, i).wait()
 
-        def col(j):
-            return scratch[slot, :, j:j + 1]                # [CHUNK, 1]
+        if not sub_clip:
+            def col(j):
+                return scratch[slot, :, j:j + 1]            # [CHUNK, 1]
 
-        cand, best_depth, best_orig = forward_dense.chunk_candidates(
-            col, xg, yg, channels)
-        return forward_dense.merge_state(
-            state, cand, best_depth, best_orig, ns)
+            cand, best_depth, best_orig = forward_dense.chunk_candidates(
+                col, xg, yg, channels)
+            return forward_dense.merge_state(
+                state, cand, best_depth, best_orig, ns)
+
+        sub = sub_ids_ref[start + i]
+
+        def sweep(s8, st):
+            def col(j):
+                return scratch[slot, s8, :, j:j + 1]        # [SUB, 1]
+
+            cand, best_depth, best_orig = forward_dense.chunk_candidates(
+                col, xg, yg, channels)
+            return forward_dense.merge_state(
+                st, cand, best_depth, best_orig, ns)
+
+        return jax.lax.fori_loop(sub // 256, jax.lax.rem(sub, 256),
+                                 sweep, state)
 
     state_ref[0] = jax.lax.fori_loop(
         0, n, body, forward_dense.init_state(channels, pix))
@@ -420,6 +473,9 @@ def rasterise_batch(background, vertices, vertex_colors, faces,
     pix = tile_h * tile_w
     ns = channels + 9
 
+    sub_clip = FUSED and SUBCLIP and chunk % SUB == 0
+    n_sub = chunk // SUB
+
     def pack_one(v, c, f):
         face_data = forward_pallas._face_table(
             v, c, f, height, width, num_blocks * chunk - num_faces)
@@ -429,15 +485,22 @@ def rasterise_batch(background, vertices, vertex_colors, faces,
             face_data = jnp.take(face_data, order, axis=0)
         hit = hit_matrix(face_data, (20, 21, 22, 23), num_blocks, chunk,
                          tiles_y, tiles_x, tile_h, tile_w,
-                         edge_cols=0, height=height, width=width)
+                         edge_cols=0, height=height, width=width,
+                         sub_chunk=SUB if sub_clip else None)
         table = face_data.reshape(num_blocks, chunk, width_d)
+        if sub_clip:
+            hit, lo, hi = hit
+            return table, *build_runs(hit, num_slots, lo, hi)
         if FUSED:
             return table, *build_runs(hit, num_slots)
         slot_tile, slot_block, slot_dma, dropped = build_slots(hit, num_slots)
         return table, slot_tile, slot_block, slot_dma, dropped
 
-    face_table, csr_a, csr_b, csr_c, dropped = jax.vmap(pack_one)(
-        vertices, vertex_colors, faces)
+    packed = jax.vmap(pack_one)(vertices, vertex_colors, faces)
+    if sub_clip:
+        face_table, csr_a, csr_b, csr_c, csr_sub, dropped = packed
+    else:
+        face_table, csr_a, csr_b, csr_c, dropped = packed
     # Flat 1-D prefetch arrays (a >1-D trailing dim pads to 128 SMEM lanes);
     # fold the batch index into the tile/block ids so the batch is one run.
     boff = jnp.arange(batch, dtype=jnp.int32)[:, None]
@@ -454,12 +517,23 @@ def rasterise_batch(background, vertices, vertex_colors, faces,
         width_dma = _cdiv(width_d, 128) * 128
         face_table = jnp.pad(face_table,
                              ((0, 0), (0, 0), (0, width_dma - width_d)))
+        extra = ()
+        if sub_clip:
+            # Sub-chunks sit on an untiled leading axis (dynamic indexing
+            # of lane/sublane offsets is the Mosaic trap; leading-axis
+            # dynamic indices are safe).
+            face_table = face_table.reshape(
+                batch * num_blocks, n_sub, SUB, width_dma)
+            extra = (csr_sub.reshape(-1),)                     # [B*S]
         kernel = functools.partial(
             _raster_kernel_fused, height=height, width=width,
             channels=channels, tiles_x=tiles_x, num_tiles=num_tiles,
-            tile_h=tile_h, tile_w=tile_w)
+            tile_h=tile_h, tile_w=tile_w, sub_clip=sub_clip)
+        scratch_shape = ((2, n_sub, SUB, width_dma) if sub_clip
+                         else (2, chunk, width_dma))
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,  # starts, counts [B*T], block_ids [B*S]
+            # starts, counts [B*T], block_ids [B*S] (+ sub_ids [B*S])
+            num_scalar_prefetch=3 + len(extra),
             grid=(batch * num_tiles,),
             in_specs=[
                 # Face blocks stay in HBM; the kernel streams the tile's
@@ -467,10 +541,10 @@ def rasterise_batch(background, vertices, vertex_colors, faces,
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec((1, ns, pix),
-                                   lambda t, starts, counts, ids: (t, 0, 0),
+                                   lambda t, *_: (t, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, chunk, width_dma), jnp.float32),
+                pltpu.VMEM(scratch_shape, jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         )
@@ -485,7 +559,7 @@ def rasterise_batch(background, vertices, vertex_colors, faces,
                 # the 16 MB scoped default is ~1% short at the bench config.
                 vmem_limit_bytes=64 * 1024 * 1024),
             interpret=interpret,
-        )(starts, counts, block_ids, face_table)
+        )(starts, counts, block_ids, *extra, face_table)
     else:
         slot_tile = (csr_a + num_tiles * boff).reshape(-1)     # [B*S]
         slot_block = csr_b.reshape(-1)                         # active flag

@@ -78,6 +78,14 @@ FUSED = _os.environ.get("DIRT_TPU_GRAD_BLOCKS_FUSED", "1") != "0"
 # to backward.grad_prepass when the image exceeds the kernel's VMEM
 # budget or the tile grid does not divide it.
 PREPASS = _os.environ.get("DIRT_TPU_FUSED_PREPASS", "1") != "0"
+# Per-visit sub-chunk range clipping (fused schedule only), transposed
+# from the forward's (forward_blocks.SUBCLIP): for each (block, tile)
+# visit only the block's live 8-face sub-chunks are swept/accumulated.
+# Clipped faces have no dilated coverage in the tile, so their per-tile
+# sums are exact zeros -- values are unchanged (up to +0/-0 on faces
+# whose true sum is a negative zero).
+SUBCLIP = _os.environ.get("DIRT_TPU_GRAD_SUBCLIP", "1") != "0"
+SUB = forward_blocks.SUB
 
 
 def _cdiv(a, b):
@@ -111,13 +119,24 @@ def _grad_kernel(run_ref, item_ref, dma_ref, face_ref, planes_ref,
         out_ref[0] += grad_dense.chunk_sums(col, plane, channels)
 
 
-def _grad_kernel_fused(start_ref, count_ref, tile_ids_ref, face_ref,
-                       planes_hbm, out_ref, scratch, sem, *, channels):
+def _grad_kernel_fused(start_ref, count_ref, tile_ids_ref, *rest,
+                       channels, sub_clip):
     """One grid step per (batch, face block): accumulate the block's
     [CHUNK, d_out] sums over its live tile visits, double-buffering the
     [n_planes, pix] plane tiles HBM->VMEM (DMA for visit i+1 overlaps the
     reduction of visit i).  Accumulation order matches the slot kernel's
-    (tiles ascending), so the two schedules agree bit-for-bit."""
+    (tiles ascending), so the two schedules agree bit-for-bit.
+
+    With `sub_clip` the face block arrives as [n_sub, SUB, _DF]
+    (sub-chunks on an untiled leading axis), the accumulator lives in the
+    matching [n_sub, SUB, d_out] output block, and each visit
+    reads/updates only its live sub-chunk range [lo, hi) from
+    sub_ids_ref: the clipped faces' per-tile sums are exact zeros (no
+    dilated coverage in the tile), so values are unchanged."""
+    if sub_clip:
+        sub_ids_ref, face_ref, planes_hbm, out_ref, scratch, sem = rest
+    else:
+        face_ref, planes_hbm, out_ref, scratch, sem = rest
     d_out = 9 + 3 * channels
     r = pl.program_id(0)
     start = start_ref[r]
@@ -132,7 +151,32 @@ def _grad_kernel_fused(start_ref, count_ref, tile_ids_ref, face_ref,
     def _warmup():
         get_dma(0, 0).start()
 
-    def body(i, acc):
+    if not sub_clip:
+        def body(i, acc):
+            slot = jax.lax.rem(i, 2)
+
+            @pl.when(i + 1 < n)
+            def _prefetch():
+                get_dma(1 - slot, i + 1).start()
+
+            get_dma(slot, i).wait()
+
+            def plane(j):
+                return scratch[slot, j:j + 1, :]           # [1, PIX]
+
+            def col(j):
+                return face_ref[0, :, j:j + 1]             # [CHUNK, 1]
+
+            return acc + grad_dense.chunk_sums(col, plane, channels)
+
+        out_ref[0] = jax.lax.fori_loop(
+            0, n, body, jnp.zeros((CHUNK, d_out), jnp.float32))
+        return
+
+    n_sub = CHUNK // SUB
+    out_ref[0] = jnp.zeros((n_sub, SUB, d_out), jnp.float32)
+
+    def body(i, carry):
         slot = jax.lax.rem(i, 2)
 
         @pl.when(i + 1 < n)
@@ -144,13 +188,20 @@ def _grad_kernel_fused(start_ref, count_ref, tile_ids_ref, face_ref,
         def plane(j):
             return scratch[slot, j:j + 1, :]               # [1, PIX]
 
-        def col(j):
-            return face_ref[0, :, j:j + 1]                 # [CHUNK, 1]
+        sub = sub_ids_ref[start + i]
 
-        return acc + grad_dense.chunk_sums(col, plane, channels)
+        def sweep(s8, c):
+            def col(j):
+                return face_ref[0, s8, :, j:j + 1]         # [SUB, 1]
 
-    out_ref[0] = jax.lax.fori_loop(
-        0, n, body, jnp.zeros((CHUNK, d_out), jnp.float32))
+            out_ref[0, s8] = out_ref[0, s8] + grad_dense.chunk_sums(
+                col, plane, channels)
+            return c
+
+        return jax.lax.fori_loop(sub // 256, jax.lax.rem(sub, 256),
+                                 sweep, carry)
+
+    jax.lax.fori_loop(0, n, body, 0)
 
 
 def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
@@ -221,6 +272,9 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
         planes = planes.transpose(0, 2, 4, 1, 3, 5).reshape(
             batch * num_tiles, n_planes, pix)
 
+    sub_clip = FUSED and SUBCLIP and CHUNK % SUB == 0
+    n_sub = CHUNK // SUB
+
     def pack_one(v, f):
         face_data = grad_tables._grad_face_table(
             v, f, height, width, num_blocks * CHUNK - num_faces)
@@ -236,13 +290,20 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
         hit = forward_blocks.hit_matrix(
             face_data, (0, 1, 2, 3), num_blocks, CHUNK,
             tiles_y, tiles_x, tile_h, TILE_W,
-            edge_cols=12, height=height, width=width, dilate=1)
+            edge_cols=12, height=height, width=width, dilate=1,
+            sub_chunk=SUB if sub_clip else None)
         # Transposed CSR: runs are blocks, items are tiles.  The dropped
         # count is discarded here: the gradient side has no aux channel, and
         # the forward pass over the same geometry (whose dilation-narrower
         # bboxes make its schedule a near-subset of this one) already
         # surfaces overflow via RasterAux.dropped before gradients run.
+        if sub_clip:
+            hit, lo, hi = hit
         table = face_data.reshape(num_blocks, CHUNK, grad_tables._DF)
+        if sub_clip:
+            starts, counts, tile_ids, sub_ids, _ = forward_blocks.build_runs(
+                hit.T, num_slots, lo.T, hi.T)
+            return table, starts, counts, tile_ids, sub_ids, order
         if FUSED:
             starts, counts, tile_ids, _ = forward_blocks.build_runs(
                 hit.T, num_slots)
@@ -251,8 +312,11 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
             hit.T, num_slots)
         return table, slot_run, slot_item, slot_dma, order
 
-    face_table, csr_a, csr_b, csr_c, row_face = jax.vmap(pack_one)(
-        vertices, faces)
+    packed = jax.vmap(pack_one)(vertices, faces)
+    if sub_clip:
+        face_table, csr_a, csr_b, csr_c, csr_sub, row_face = packed
+    else:
+        face_table, csr_a, csr_b, csr_c, row_face = packed
     boff = jnp.arange(batch, dtype=jnp.int32)[:, None]
     face_table = face_table.reshape(
         batch * num_blocks, CHUNK, grad_tables._DF)
@@ -268,21 +332,40 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
         if not fused_pre:
             planes = jnp.pad(planes,
                              ((0, 0), (0, np_dma - n_planes), (0, 0)))
-        kernel = functools.partial(_grad_kernel_fused, channels=channels)
+        extra = ()
+        if sub_clip:
+            # Sub-chunks on an untiled leading axis (see forward_blocks).
+            face_table = face_table.reshape(
+                batch * num_blocks, n_sub, SUB, grad_tables._DF)
+            extra = (csr_sub.reshape(-1),)                     # [B*S]
+            face_spec = pl.BlockSpec((1, n_sub, SUB, grad_tables._DF),
+                                     lambda r, *_: (r, 0, 0, 0),
+                                     memory_space=pltpu.VMEM)
+            out_spec = pl.BlockSpec((1, n_sub, SUB, d_out),
+                                    lambda r, *_: (r, 0, 0, 0),
+                                    memory_space=pltpu.VMEM)
+            out_shape = (batch * num_blocks, n_sub, SUB, d_out)
+        else:
+            face_spec = pl.BlockSpec((1, CHUNK, grad_tables._DF),
+                                     lambda r, *_: (r, 0, 0),
+                                     memory_space=pltpu.VMEM)
+            out_spec = pl.BlockSpec((1, CHUNK, d_out),
+                                    lambda r, *_: (r, 0, 0),
+                                    memory_space=pltpu.VMEM)
+            out_shape = (batch * num_blocks, CHUNK, d_out)
+        kernel = functools.partial(_grad_kernel_fused, channels=channels,
+                                   sub_clip=sub_clip)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,   # starts, counts [B*NB], tile_ids [B*S]
+            # starts, counts [B*NB], tile_ids [B*S] (+ sub_ids [B*S])
+            num_scalar_prefetch=3 + len(extra),
             grid=(batch * num_blocks,),
             in_specs=[
-                pl.BlockSpec((1, CHUNK, grad_tables._DF),
-                             lambda r, starts, counts, ids: (r, 0, 0),
-                             memory_space=pltpu.VMEM),
+                face_spec,
                 # Plane tiles stay in HBM; the kernel streams the block's
                 # live visits through a double-buffered VMEM scratch.
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec((1, CHUNK, d_out),
-                                   lambda r, starts, counts, ids: (r, 0, 0),
-                                   memory_space=pltpu.VMEM),
+            out_specs=out_spec,
             scratch_shapes=[
                 pltpu.VMEM((2, np_dma, pix), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
@@ -291,15 +374,14 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
         face_grads = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct(
-                (batch * num_blocks, CHUNK, d_out), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
                 # The ANY-placed plane stack is VMEM-resident when it fits;
                 # match the forward kernel's raised scoped-VMEM limit.
                 vmem_limit_bytes=64 * 1024 * 1024),
             interpret=interpret,
-        )(starts, counts, tile_ids, face_table, planes)
+        )(starts, counts, tile_ids, *extra, face_table, planes)
     else:
         slot_run = (csr_a + num_blocks * boff).reshape(-1)     # [B*S]
         slot_item = csr_b.reshape(-1)                          # active flag
