@@ -337,7 +337,8 @@ def build_runs(hit, num_slots, sub_lo=None, sub_hi=None):
 
     With `sub_lo`/`sub_hi` ([R, I] per-pair live sub-chunk ranges from
     hit_matrix(sub_chunk=...)) an extra `sub_ids` [S] array is returned
-    after item_ids, packing each slot's range as lo * 256 + hi."""
+    after item_ids, packing each slot's range as lo * 256 + hi (callers
+    must keep n_sub < 256: hi == 256 would alias into the lo field)."""
     num_runs, num_items = hit.shape
     n = jnp.sum(hit, axis=1).astype(jnp.int32)             # [R]
     starts = jnp.cumsum(n) - n                             # exclusive prefix
@@ -473,7 +474,11 @@ def rasterise_batch(background, vertices, vertex_colors, faces,
     pix = tile_h * tile_w
     ns = channels + 9
 
-    sub_clip = FUSED and SUBCLIP and chunk % SUB == 0
+    # n_sub < 256: build_runs packs each visit's live range as lo*256+hi,
+    # so 256+ sub-chunks would overflow the encoding (hi == 256 decodes as
+    # (lo+1, 0): an empty sweep that silently skips live blocks).
+    sub_clip = (FUSED and SUBCLIP and chunk % SUB == 0
+                and chunk // SUB < 256)
     n_sub = chunk // SUB
 
     def pack_one(v, c, f):

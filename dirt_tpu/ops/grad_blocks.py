@@ -81,10 +81,16 @@ PREPASS = _os.environ.get("DIRT_TPU_FUSED_PREPASS", "1") != "0"
 # Per-visit sub-chunk range clipping (fused schedule only), transposed
 # from the forward's (forward_blocks.SUBCLIP): for each (block, tile)
 # visit only the block's live 8-face sub-chunks are swept/accumulated.
-# Clipped faces have no dilated coverage in the tile, so their per-tile
-# sums are exact zeros -- values are unchanged (up to +0/-0 on faces
-# whose true sum is a negative zero).
-SUBCLIP = _os.environ.get("DIRT_TPU_GRAD_SUBCLIP", "1") != "0"
+# Default OFF: unlike the forward (whose lexicographic merge is
+# partition-independent), the gradient's per-face sums are NOT bitwise
+# invariant to the sweep shape -- the [SUB, PIX] expression tree makes
+# different FMA-contraction choices than [CHUNK, PIX], so gx/gy/gw shift
+# within rounding (~1e-6 rel; measured round 4: the diffs persist even
+# when every sub-chunk is swept, so they come from the shape change, not
+# from the clipped visits).  Enabling it breaks the fused/slot bitwise
+# cross-check (tests/test_fused_csr.py, tests_tpu.py); values stay
+# correct to rounding vs the XLA path.
+SUBCLIP = _os.environ.get("DIRT_TPU_GRAD_SUBCLIP", "0") != "0"
 SUB = forward_blocks.SUB
 
 
@@ -131,8 +137,12 @@ def _grad_kernel_fused(start_ref, count_ref, tile_ids_ref, *rest,
     (sub-chunks on an untiled leading axis), the accumulator lives in the
     matching [n_sub, SUB, d_out] output block, and each visit
     reads/updates only its live sub-chunk range [lo, hi) from
-    sub_ids_ref: the clipped faces' per-tile sums are exact zeros (no
-    dilated coverage in the tile), so values are unchanged."""
+    sub_ids_ref.  CAVEAT: this path is NOT bit-exact vs the full-block
+    sweep -- the [SUB, PIX] reduction expression tree rounds differently
+    (FMA-contraction choices) than [CHUNK, PIX], shifting gx/gy/gw by
+    ~1e-6 rel even when every sub-chunk is swept; hence SUBCLIP defaults
+    OFF and the bit-for-bit fused/slot guarantee above holds only with
+    it disabled."""
     if sub_clip:
         sub_ids_ref, face_ref, planes_hbm, out_ref, scratch, sem = rest
     else:
@@ -272,7 +282,11 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
         planes = planes.transpose(0, 2, 4, 1, 3, 5).reshape(
             batch * num_tiles, n_planes, pix)
 
-    sub_clip = FUSED and SUBCLIP and CHUNK % SUB == 0
+    # n_sub < 256: build_runs packs each visit's live range as lo*256+hi,
+    # so 256+ sub-chunks would overflow the encoding (hi == 256 decodes as
+    # (lo+1, 0): an empty sweep that silently skips live blocks).
+    sub_clip = (FUSED and SUBCLIP and CHUNK % SUB == 0
+                and CHUNK // SUB < 256)
     n_sub = CHUNK // SUB
 
     def pack_one(v, f):
