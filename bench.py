@@ -6,7 +6,8 @@ numbers (BASELINE.md), so this harness *establishes* the baseline; the value
 recorded by the driver in BENCH_r{N}.json tracks round-over-round progress.
 
 Prints exactly one JSON line on success:
-  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N,
+   "spread_pct": N}
 and EXITS NON-ZERO on any measurement failure instead of printing a number.
 The reference's correctness floor is pass/fail (tests/square_test.py:54-57
 must print "successful"); this harness applies the same philosophy to its
@@ -28,6 +29,13 @@ own timing:
     number (a >10x jump in one round is a measurement artifact, not a
     speedup; round 2's driver artifact recorded 16e9 frames/sec from a
     silently clamped non-positive slope).
+  * DRIFT AWARENESS (round 4): the relay's load drift spans 2763-3701
+    f/s at identical code (+-15%), so one slope cannot distinguish a real
+    regression from drift.  The harness runs GROUPS interleaved slope
+    groups spread over the run's wall-clock, reports the MEDIAN as the
+    value plus the max-min spread as ``spread_pct``, and when the spread
+    exceeds SPREAD_LIMIT it re-measures the whole set once, then fails
+    rather than publish a number the drift band swallows.
 
 Environment knobs:
   DIRT_BENCH_BATCH / DIRT_BENCH_RES / DIRT_BENCH_SEGMENTS / DIRT_BENCH_ITERS
@@ -69,6 +77,11 @@ ROUND1_ANCHOR = 520.9   # frames/sec/chip measured in round 1 (TPU v5e)
 RECORD_BEST = 3701.5    # best honest recorded value (round 3, TPU v5e)
 MAX_ATTEMPTS = 3        # slope re-measurements before giving up
 REPEATS = 5             # odd; median defeats one-off relay cache hits
+GROUPS = 3              # interleaved slope groups; median defeats drift
+# Max (max-min)/median spread across groups, percent, before the set is
+# re-measured (once) and then rejected.  The documented relay drift is
+# +-15% across QUARTER-HOURS; within one run's minutes it must be tighter.
+SPREAD_LIMIT = float(os.environ.get("DIRT_BENCH_SPREAD_LIMIT", "20"))
 DEFAULT_CONFIG = (16, 256, 64)   # (batch, res, segments) of the headline
 
 
@@ -213,33 +226,57 @@ def main():
     drain(short(clip, *scene))
     drain(long_(clip, *scene))
 
-    per_step = None
-    for attempt in range(MAX_ATTEMPTS):
-        base = 1e-6 * (10 ** attempt)
-        t_short = timed(short, [base * (k + 1) for k in range(REPEATS)])
-        t_long = timed(long_, [base * (k + 1 + REPEATS)
-                               for k in range(REPEATS)])
-        if poison:
-            # Test hook: simulate the relay content-cache failure mode (the
-            # long scan "returns" instantly).
-            t_long = t_short * 0.5
-        slope = t_long - t_short
-        # A genuine 3x-length scan has slope ~ 2 * t_short minus constant
-        # dispatch overhead; anything under 30% of t_short means at least
-        # one of the two timings is a cache/jitter lie.
-        if slope >= 0.3 * t_short and slope > 0:
-            per_step = slope / (2 * iters)
-            break
-        print(f"# implausible slope on attempt {attempt + 1}: "
-              f"t_short={t_short:.4f}s t_long={t_long:.4f}s "
-              f"slope={slope:.4f}s -- re-measuring with fresh nonces",
-              file=sys.stderr, flush=True)
-    if per_step is None:
+    nonce_ids = iter(range(1, 1 << 20))
+
+    def measure_group(tag):
+        """One plausible slope (with re-measure attempts) -> s/step."""
+        for attempt in range(MAX_ATTEMPTS):
+            base = 1e-6 * (10 ** attempt)
+            t_short = timed(short, [base * next(nonce_ids)
+                                    for _ in range(REPEATS)])
+            t_long = timed(long_, [base * next(nonce_ids)
+                                   for _ in range(REPEATS)])
+            if poison:
+                # Test hook: simulate the relay content-cache failure mode
+                # (the long scan "returns" instantly).
+                t_long = t_short * 0.5
+            slope = t_long - t_short
+            # A genuine 3x-length scan has slope ~ 2 * t_short minus
+            # constant dispatch overhead; anything under 30% of t_short
+            # means at least one of the two timings is a cache/jitter lie.
+            if slope >= 0.3 * t_short and slope > 0:
+                return slope / (2 * iters)
+            print(f"# implausible slope ({tag}, attempt {attempt + 1}): "
+                  f"t_short={t_short:.4f}s t_long={t_long:.4f}s "
+                  f"slope={slope:.4f}s -- re-measuring with fresh nonces",
+                  file=sys.stderr, flush=True)
         fail(f"slope implausible after {MAX_ATTEMPTS} attempts "
              "(relay content-cache / jitter failure mode); refusing to "
              "print a number")
 
-    frames_per_sec = batch / per_step
+    def measure_set(tag):
+        """GROUPS interleaved slope groups -> (median f/s, spread %)."""
+        values = []
+        for g in range(GROUPS):
+            per_step = measure_group(f"{tag} group {g + 1}/{GROUPS}")
+            values.append(batch / per_step)
+            print(f"# {tag} group {g + 1}/{GROUPS}: "
+                  f"{values[-1]:.1f} frames/sec/chip", flush=True)
+        med = statistics.median(values)
+        return med, 100.0 * (max(values) - min(values)) / med
+
+    frames_per_sec, spread_pct = measure_set("set 1")
+    if spread_pct > SPREAD_LIMIT:
+        # Relay load drift (documented 2763-3701 f/s band) can spread one
+        # set; a second full set gets one chance before the run is rejected
+        # as drift-swamped.
+        print(f"# spread {spread_pct:.1f}% exceeds {SPREAD_LIMIT:.0f}%; "
+              "re-measuring the full set once", file=sys.stderr, flush=True)
+        frames_per_sec, spread_pct = measure_set("set 2")
+        if spread_pct > SPREAD_LIMIT:
+            fail(f"group spread {spread_pct:.1f}% exceeds "
+                 f"{SPREAD_LIMIT:.0f}% after a re-measure; relay drift "
+                 "swamps the measurement -- refusing to print a number")
     # Sanity bound: at the headline config, reject anything >10x the best
     # honest recorded value -- physical speedups of that size do not happen
     # in one round, measurement artifacts do (BENCH_r02 recorded 16e9 f/s).
@@ -257,6 +294,10 @@ def main():
         "value": round(frames_per_sec, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(vs_baseline, 3),
+        # Max-min spread of the interleaved slope groups, as % of the
+        # median: the round-over-round comparability signal under the
+        # relay's documented 2763-3701 f/s load drift.
+        "spread_pct": round(spread_pct, 1),
     }))
 
 

@@ -61,15 +61,32 @@ def test_poisoned_slope_exits_nonzero_with_no_number():
 
 
 def test_honest_run_emits_one_json_line():
-    result = run_bench({})
+    # Generous spread limit: host-CPU timing jitter at the tiny config is
+    # not the relay drift the limit polices; the schema is what's pinned.
+    result = run_bench({"DIRT_BENCH_SPREAD_LIMIT": "500"})
     assert result.returncode == 0, (
         f"rc={result.returncode}\nstdout:\n{result.stdout}\n"
         f"stderr:\n{result.stderr}")
     lines = json_lines(result.stdout)
     assert len(lines) == 1, result.stdout
     record = lines[0]
-    assert set(record) == {"metric", "value", "unit", "vs_baseline"}
+    assert set(record) == {"metric", "value", "unit", "vs_baseline",
+                           "spread_pct"}
     assert record["unit"] == "frames/sec/chip"
     assert 0 < record["value"] < 1e6
+    assert 0 <= record["spread_pct"]
     # The parity gate must have run (it is no longer opt-in).
     assert "# parity vs native oracle: OK" in result.stdout
+
+
+def test_drift_swamped_spread_exits_nonzero_with_no_number():
+    # A spread limit below any real measurement's spread forces the
+    # re-measure-then-fail path: the drift guard must refuse to publish.
+    result = run_bench({"DIRT_BENCH_SPREAD_LIMIT": "1e-9"})
+    assert result.returncode != 0, (
+        f"drift-swamped spread must fail the run\nstdout:\n{result.stdout}\n"
+        f"stderr:\n{result.stderr}")
+    assert not json_lines(result.stdout), (
+        f"no JSON measurement may be published on failure:\n{result.stdout}")
+    assert "MEASUREMENT FAILURE" in result.stderr
+    assert "re-measuring the full set" in result.stderr
