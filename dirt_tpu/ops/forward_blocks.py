@@ -58,10 +58,11 @@ from . import forward_dense, forward_pallas, geometry, reference
 TILE_H = int(_os.environ.get("DIRT_TPU_BLOCKS_TILE_H", 0))
 TILE_W = int(_os.environ.get("DIRT_TPU_BLOCKS_TILE_W", 128))
 CHUNK = int(_os.environ.get("DIRT_TPU_BLOCKS_CHUNK", 0))
-# Fused-CSR schedule: grid (batch * tiles), in-kernel loop over the
-# tile's live face-block visits with double-buffered manual DMA -- no
-# filler grid steps and no per-slot state round trips (the z-state rides
-# the fori_loop carry in vector registers, as in forward_dense FUSED).
+# Fused-CSR schedule: grid (batch * tile-groups), in-kernel loop over
+# each tile's live face-block visits with depth-slot rotating manual DMA
+# -- no filler grid steps and no per-slot state round trips (the z-state
+# rides the fori_loop carry in vector registers, as in forward_dense
+# FUSED).  See GROUP / DEPTH below.
 FUSED = _os.environ.get("DIRT_TPU_BLOCKS_FUSED", "1") != "0"
 # Spatial (Morton-order) face re-blocking: permute the face table so that
 # blocks group spatially-adjacent faces instead of draw-order runs, which
@@ -81,15 +82,39 @@ SPATIAL = _os.environ.get("DIRT_TPU_SPATIAL_SORT", "1") != "0"
 # refines the bbox hit test so thin/diagonal faces stop visiting the empty
 # corners of their bboxes.  Conservative by an 8-ulp edge-function margin.
 EDGE_CULL = _os.environ.get("DIRT_TPU_EDGE_CULL", "1") != "0"
-# Per-visit sub-chunk range clipping (fused schedule only): the binning
-# pre-pass records, for every (tile, block) visit, the range of live
-# 8-face sub-chunks (f32 sublane granularity), and the kernel sweeps only
-# that range with dynamic fori_loop bounds -- the faces outside it cannot
-# reach the tile (same conservative bbox+half-plane test that gates whole
-# blocks).  Bit-exact: the lexicographic merge is partition-independent.
-SUBCLIP = _os.environ.get("DIRT_TPU_SUBCLIP", "1") != "0"
-SUB = 8                  # sub-chunk height = the f32 sublane tile
+# (REMOVED, round 4: per-visit sub-chunk range clipping, DIRT_TPU_SUBCLIP.
+# The device A/B -- sweeps/_sweep_subclip.py, table in BASELINE.md -- lost
+# at every size: fwd 2.6->3.35 ms at 512 faces, 7.2->11.33 at 2048; the
+# dynamic fori bounds + [SUB, PIX] sliced sweeps cost more than the ~28%
+# lane saving available (sweeps/_probe_visits.py), and the gradient
+# variant additionally broke the fused/slot bitwise invariant.)
+# Tiles per fused grid step (0 = auto).  Grouping amortises the ~1 us
+# Pallas per-grid-step fixed cost -- the dominant forward overhead at the
+# bench config (2048 one-tile steps vs ~900 visits) -- over `group` tiles
+# without widening any sweep; bit-exact vs the ungrouped schedule.
+GROUP = int(_os.environ.get("DIRT_TPU_BLOCKS_GROUP", "0"))
+# Rotating DMA scratch slots for the fused schedule (0 = auto).  depth-1
+# face-block transfers stay in flight; 2 = the round-3 double buffer,
+# which leaves the sweep DMA-latency-bound in the dense-face regime
+# (~2.7 us/visit at 8192 faces vs ~0.6 us of compute).
+DEPTH = int(_os.environ.get("DIRT_TPU_BLOCKS_DEPTH", "0"))
 _BASE = forward_pallas._BASE
+
+
+def group_for(num_tiles):
+    """Tiles per fused grid step: the group must divide the tile count
+    (groups never straddle images), so auto picks the largest of 8/4/2
+    that does."""
+    if GROUP:
+        return GROUP if num_tiles % GROUP == 0 else 1
+    for g in (8, 4, 2):
+        if num_tiles % g == 0:
+            return g
+    return 1
+
+
+def depth_for():
+    return DEPTH or 4
 
 
 def tile_h_for():
@@ -253,8 +278,7 @@ def _edge_keep(face_data, edge_cols, tiles_y, tiles_x, tile_h, tile_w,
 
 def hit_matrix(face_data, bbox_cols, num_blocks, chunk,
                tiles_y, tiles_x, tile_h, tile_w,
-               edge_cols=None, height=None, width=None, dilate=0,
-               sub_chunk=None):
+               edge_cols=None, height=None, width=None, dilate=0):
     """[T, NB] bool: block hits tile iff any member face's bbox overlaps.
 
     With `edge_cols` (column of the first edge coefficient; 9 consecutive
@@ -276,18 +300,7 @@ def hit_matrix(face_data, bbox_cols, num_blocks, chunk,
             face_data, edge_cols, tiles_y, tiles_x, tile_h, tile_w,
             height, width, dilate)
     overlap = overlap.reshape(tiles_y * tiles_x, num_blocks, chunk)
-    if sub_chunk is None:
-        return jnp.any(overlap, axis=-1)
-    # Sub-chunk refinement: live-range [lo, hi) of `sub_chunk`-face groups
-    # per (tile, block), for the fused kernel's clipped sweep.
-    n_sub = chunk // sub_chunk
-    sub_hit = jnp.any(
-        overlap.reshape(-1, num_blocks, n_sub, sub_chunk), axis=-1)
-    hit = jnp.any(sub_hit, axis=-1)                          # [T, NB]
-    s = jnp.arange(n_sub, dtype=jnp.int32)
-    lo = jnp.min(jnp.where(sub_hit, s, n_sub), axis=-1)
-    hi = jnp.max(jnp.where(sub_hit, s + 1, 0), axis=-1)
-    return hit, lo.astype(jnp.int32), hi.astype(jnp.int32)
+    return jnp.any(overlap, axis=-1)
 
 
 def _raster_kernel(slot_tile_ref, slot_block_ref, slot_dma_ref,
@@ -327,21 +340,22 @@ def _raster_kernel(slot_tile_ref, slot_block_ref, slot_dma_ref,
             state_ref[0], cand, best_depth, best_orig, ns)
 
 
-def build_runs(hit, num_slots, sub_lo=None, sub_hi=None):
+def build_runs(hit, num_slots):
     """Fused-CSR schedule for one image from the [R, I] bool hit matrix:
     (starts [R], counts [R], item_ids [S], dropped []) i32.  Run r's live
     items (ascending draw order) occupy item_ids[starts[r] : starts[r] +
     counts[r]]; zero-hit runs need no slot (the fused kernels initialise
     their output unconditionally).  Tail truncation by the static budget
-    clamps the last runs' counts and is counted in ``dropped``.
-
-    With `sub_lo`/`sub_hi` ([R, I] per-pair live sub-chunk ranges from
-    hit_matrix(sub_chunk=...)) an extra `sub_ids` [S] array is returned
-    after item_ids, packing each slot's range as lo * 256 + hi (callers
-    must keep n_sub < 256: hi == 256 would alias into the lo field)."""
+    clamps the last runs' counts and is counted in ``dropped``."""
     num_runs, num_items = hit.shape
     n = jnp.sum(hit, axis=1).astype(jnp.int32)             # [R]
-    starts = jnp.cumsum(n) - n                             # exclusive prefix
+    total = jnp.cumsum(n)                                  # inclusive prefix
+    # Clamp BOTH ends of each run's slot range to the budget so that
+    # starts[r] + counts[r] == starts[r + 1] holds even when the tail is
+    # truncated: the grouped forward kernel pipelines DMAs by flat ordinal
+    # across consecutive runs and needs the visit sequence gap-free.
+    starts = jnp.minimum(total - n, num_slots)
+    counts = jnp.minimum(total, num_slots) - starts
     order = jnp.argsort(jnp.logical_not(hit), axis=1,
                         stable=True).astype(jnp.int32)     # hits first
     j = jnp.arange(num_items, dtype=jnp.int32)[None, :]
@@ -349,64 +363,67 @@ def build_runs(hit, num_slots, sub_lo=None, sub_hi=None):
     item_ids = jnp.zeros((num_slots,), jnp.int32).at[
         pos.reshape(-1)].set(order.reshape(-1), mode="drop")
     dropped = jnp.maximum(jnp.sum(n) - num_slots, 0)
-    counts = jnp.minimum(n, jnp.maximum(num_slots - starts, 0))
-    if sub_lo is None:
-        return starts, counts, item_ids, dropped
-    sub = jnp.take_along_axis(sub_lo * 256 + sub_hi, order, axis=1)
-    sub_ids = jnp.zeros((num_slots,), jnp.int32).at[
-        pos.reshape(-1)].set(sub.reshape(-1), mode="drop")
-    return starts, counts, item_ids, sub_ids, dropped
+    return starts, counts, item_ids, dropped
 
 
 def _raster_kernel_fused(start_ref, count_ref, block_ids_ref, *rest,
                          height, width, channels, tiles_x, num_tiles,
-                         tile_h, tile_w, sub_clip):
-    """One grid step per (batch, tile): sweep the tile's live face blocks
-    with the z-state in vector registers, double-buffering the [CHUNK, D]
-    face blocks HBM->VMEM (the DMA for visit i+1 overlaps the sweep of
-    visit i).  Sweep/merge math is shared with the dense kernels
-    (bit-exact-visibility invariant).
-
-    With `sub_clip` the face blocks arrive as [n_sub, SUB, D] (sub-chunks
-    on an untiled leading axis) and each visit sweeps only its live
-    sub-chunk range [lo, hi) from sub_ids_ref -- the clipped faces cannot
-    reach the tile, and the lexicographic merge is partition-independent,
-    so the output is bit-exact vs the full-block sweep."""
-    if sub_clip:
-        sub_ids_ref, face_hbm, state_ref, scratch, sem = rest
-    else:
-        face_hbm, state_ref, scratch, sem = rest
+                         tile_h, tile_w, group, depth):
+    """One grid step per (batch, GROUP-of-tiles): sweep each tile's live
+    face blocks with the z-state in vector registers, streaming the
+    [CHUNK, D] face blocks HBM->VMEM through a `depth`-deep rotating
+    scratch (the DMA for visit q+depth-1 is issued before the sweep of
+    visit q, so up to depth-1 transfers are in flight across tile
+    boundaries).  Grouping amortises the Pallas per-grid-step fixed cost
+    (~1 us, round-3/4 measurements) over `group` tiles without widening
+    any sweep; the visit ordinals are flat across the group's tiles
+    (build_runs guarantees starts[t] + counts[t] == starts[t + 1] even
+    under budget truncation).  Sweep/merge math is shared with the dense
+    kernels, and each tile's state still rides its own register-carried
+    fori_loop, so the output is bit-exact vs the ungrouped and slot
+    schedules."""
+    face_hbm, state_ref, scratch, sem = rest
     pix = tile_h * tile_w
     ns = channels + 9
-    t = pl.program_id(0)
-    tile = jax.lax.rem(t, num_tiles)
-    tile_row = (tile // tiles_x) * tile_h
-    tile_col = jax.lax.rem(tile, tiles_x) * tile_w
-    start = start_ref[t]
-    n = count_ref[t]
+    r = pl.program_id(0)
+    t0 = r * group
+    group_start = start_ref[t0]
+    group_total = (start_ref[t0 + group - 1] + count_ref[t0 + group - 1]
+                   - group_start)
 
-    def get_dma(slot, i):
+    def get_dma(q):
+        # Visit ordinal q within the group -> slot q % depth.
+        p = group_start + q
+        slot = jax.lax.rem(q, depth)
         return pltpu.make_async_copy(
-            face_hbm.at[block_ids_ref[start + i]],
-            scratch.at[slot], sem.at[slot])
+            face_hbm.at[block_ids_ref[p]], scratch.at[slot], sem.at[slot])
 
-    @pl.when(n > 0)
-    def _warmup():
-        get_dma(0, 0).start()
+    for j in range(depth - 1):
+        @pl.when(j < group_total)
+        def _warmup(j=j):
+            get_dma(j).start()
 
-    xg, yg = forward_dense.pixel_ndc(tile_row, tile_col, height, width,
-                                     pix, tile_w)
+    for g in range(group):
+        t = t0 + g
+        tile = jax.lax.rem(t, num_tiles)
+        tile_row = (tile // tiles_x) * tile_h
+        tile_col = jax.lax.rem(tile, tiles_x) * tile_w
+        start = start_ref[t]
+        n = count_ref[t]
+        base = start - group_start
+        xg, yg = forward_dense.pixel_ndc(tile_row, tile_col, height, width,
+                                         pix, tile_w)
 
-    def body(i, state):
-        slot = jax.lax.rem(i, 2)
+        def body(i, state, base=base, xg=xg, yg=yg):
+            q = base + i
+            slot = jax.lax.rem(q, depth)
 
-        @pl.when(i + 1 < n)
-        def _prefetch():
-            get_dma(1 - slot, i + 1).start()
+            @pl.when(q + depth - 1 < group_total)
+            def _prefetch():
+                get_dma(q + depth - 1).start()
 
-        get_dma(slot, i).wait()
+            get_dma(q).wait()
 
-        if not sub_clip:
             def col(j):
                 return scratch[slot, :, j:j + 1]            # [CHUNK, 1]
 
@@ -415,22 +432,8 @@ def _raster_kernel_fused(start_ref, count_ref, block_ids_ref, *rest,
             return forward_dense.merge_state(
                 state, cand, best_depth, best_orig, ns)
 
-        sub = sub_ids_ref[start + i]
-
-        def sweep(s8, st):
-            def col(j):
-                return scratch[slot, s8, :, j:j + 1]        # [SUB, 1]
-
-            cand, best_depth, best_orig = forward_dense.chunk_candidates(
-                col, xg, yg, channels)
-            return forward_dense.merge_state(
-                st, cand, best_depth, best_orig, ns)
-
-        return jax.lax.fori_loop(sub // 256, jax.lax.rem(sub, 256),
-                                 sweep, state)
-
-    state_ref[0] = jax.lax.fori_loop(
-        0, n, body, forward_dense.init_state(channels, pix))
+        state_ref[0, g] = jax.lax.fori_loop(
+            0, n, body, forward_dense.init_state(channels, pix))
 
 
 def rasterise_batch(background, vertices, vertex_colors, faces,
@@ -474,13 +477,6 @@ def rasterise_batch(background, vertices, vertex_colors, faces,
     pix = tile_h * tile_w
     ns = channels + 9
 
-    # n_sub < 256: build_runs packs each visit's live range as lo*256+hi,
-    # so 256+ sub-chunks would overflow the encoding (hi == 256 decodes as
-    # (lo+1, 0): an empty sweep that silently skips live blocks).
-    sub_clip = (FUSED and SUBCLIP and chunk % SUB == 0
-                and chunk // SUB < 256)
-    n_sub = chunk // SUB
-
     def pack_one(v, c, f):
         face_data = forward_pallas._face_table(
             v, c, f, height, width, num_blocks * chunk - num_faces)
@@ -490,22 +486,15 @@ def rasterise_batch(background, vertices, vertex_colors, faces,
             face_data = jnp.take(face_data, order, axis=0)
         hit = hit_matrix(face_data, (20, 21, 22, 23), num_blocks, chunk,
                          tiles_y, tiles_x, tile_h, tile_w,
-                         edge_cols=0, height=height, width=width,
-                         sub_chunk=SUB if sub_clip else None)
+                         edge_cols=0, height=height, width=width)
         table = face_data.reshape(num_blocks, chunk, width_d)
-        if sub_clip:
-            hit, lo, hi = hit
-            return table, *build_runs(hit, num_slots, lo, hi)
         if FUSED:
             return table, *build_runs(hit, num_slots)
         slot_tile, slot_block, slot_dma, dropped = build_slots(hit, num_slots)
         return table, slot_tile, slot_block, slot_dma, dropped
 
     packed = jax.vmap(pack_one)(vertices, vertex_colors, faces)
-    if sub_clip:
-        face_table, csr_a, csr_b, csr_c, csr_sub, dropped = packed
-    else:
-        face_table, csr_a, csr_b, csr_c, dropped = packed
+    face_table, csr_a, csr_b, csr_c, dropped = packed
     # Flat 1-D prefetch arrays (a >1-D trailing dim pads to 128 SMEM lanes);
     # fold the batch index into the tile/block ids so the batch is one run.
     boff = jnp.arange(batch, dtype=jnp.int32)[:, None]
@@ -522,49 +511,42 @@ def rasterise_batch(background, vertices, vertex_colors, faces,
         width_dma = _cdiv(width_d, 128) * 128
         face_table = jnp.pad(face_table,
                              ((0, 0), (0, 0), (0, width_dma - width_d)))
-        extra = ()
-        if sub_clip:
-            # Sub-chunks sit on an untiled leading axis (dynamic indexing
-            # of lane/sublane offsets is the Mosaic trap; leading-axis
-            # dynamic indices are safe).
-            face_table = face_table.reshape(
-                batch * num_blocks, n_sub, SUB, width_dma)
-            extra = (csr_sub.reshape(-1),)                     # [B*S]
+        group = group_for(num_tiles)
+        depth = depth_for()
         kernel = functools.partial(
             _raster_kernel_fused, height=height, width=width,
             channels=channels, tiles_x=tiles_x, num_tiles=num_tiles,
-            tile_h=tile_h, tile_w=tile_w, sub_clip=sub_clip)
-        scratch_shape = ((2, n_sub, SUB, width_dma) if sub_clip
-                         else (2, chunk, width_dma))
+            tile_h=tile_h, tile_w=tile_w, group=group, depth=depth)
+        scratch_shape = (depth, chunk, width_dma)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            # starts, counts [B*T], block_ids [B*S] (+ sub_ids [B*S])
-            num_scalar_prefetch=3 + len(extra),
-            grid=(batch * num_tiles,),
+            # starts, counts [B*T], block_ids [B*S]
+            num_scalar_prefetch=3,
+            grid=(batch * num_tiles // group,),
             in_specs=[
-                # Face blocks stay in HBM; the kernel streams the tile's
-                # live visits through a double-buffered VMEM scratch.
+                # Face blocks stay in HBM; the kernel streams the group's
+                # live visits through a depth-slot rotating VMEM scratch.
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec((1, ns, pix),
-                                   lambda t, *_: (t, 0, 0),
+            out_specs=pl.BlockSpec((1, group, ns, pix),
+                                   lambda r, *_: (r, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM(scratch_shape, jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((depth,)),
             ],
         )
         state = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct(
-                (batch * num_tiles, ns, pix), jnp.float32),
+                (batch * num_tiles // group, group, ns, pix), jnp.float32),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
                 # The ANY-placed face table is VMEM-resident when it fits;
                 # the 16 MB scoped default is ~1% short at the bench config.
                 vmem_limit_bytes=64 * 1024 * 1024),
             interpret=interpret,
-        )(starts, counts, block_ids, *extra, face_table)
+        )(starts, counts, block_ids, face_table)
     else:
         slot_tile = (csr_a + num_tiles * boff).reshape(-1)     # [B*S]
         slot_block = csr_b.reshape(-1)                         # active flag

@@ -78,20 +78,20 @@ FUSED = _os.environ.get("DIRT_TPU_GRAD_BLOCKS_FUSED", "1") != "0"
 # to backward.grad_prepass when the image exceeds the kernel's VMEM
 # budget or the tile grid does not divide it.
 PREPASS = _os.environ.get("DIRT_TPU_FUSED_PREPASS", "1") != "0"
-# Per-visit sub-chunk range clipping (fused schedule only), transposed
-# from the forward's (forward_blocks.SUBCLIP): for each (block, tile)
-# visit only the block's live 8-face sub-chunks are swept/accumulated.
-# Default OFF: unlike the forward (whose lexicographic merge is
-# partition-independent), the gradient's per-face sums are NOT bitwise
-# invariant to the sweep shape -- the [SUB, PIX] expression tree makes
-# different FMA-contraction choices than [CHUNK, PIX], so gx/gy/gw shift
-# within rounding (~1e-6 rel; measured round 4: the diffs persist even
-# when every sub-chunk is swept, so they come from the shape change, not
-# from the clipped visits).  Enabling it breaks the fused/slot bitwise
-# cross-check (tests/test_fused_csr.py, tests_tpu.py); values stay
-# correct to rounding vs the XLA path.
-SUBCLIP = _os.environ.get("DIRT_TPU_GRAD_SUBCLIP", "0") != "0"
-SUB = forward_blocks.SUB
+# (REMOVED, round 4: gradient sub-chunk clipping, DIRT_TPU_GRAD_SUBCLIP.
+# It was doubly condemned by the round-4 measurements -- the [SUB, PIX]
+# reduction expression tree is not bitwise vs [CHUNK, PIX] (breaking the
+# fused/slot cross-check), AND the device A/B lost outright: bwd
+# 1.91->2.52 ms at 512 faces, 5.68->8.6 at 2048 (sweeps/_sweep_subclip.py,
+# BASELINE.md).)
+# Rotating DMA scratch slots for the fused schedule (0 = auto = 4): see
+# forward_blocks.DEPTH -- keeps depth-1 plane-tile transfers in flight so
+# the reduction is not DMA-latency-bound in the many-visit regimes.
+DEPTH = int(_os.environ.get("DIRT_TPU_GRAD_BLOCKS_DEPTH", "0"))
+
+
+def depth_for():
+    return DEPTH or 4
 
 
 def _cdiv(a, b):
@@ -126,92 +126,49 @@ def _grad_kernel(run_ref, item_ref, dma_ref, face_ref, planes_ref,
 
 
 def _grad_kernel_fused(start_ref, count_ref, tile_ids_ref, *rest,
-                       channels, sub_clip):
+                       channels, depth):
     """One grid step per (batch, face block): accumulate the block's
-    [CHUNK, d_out] sums over its live tile visits, double-buffering the
-    [n_planes, pix] plane tiles HBM->VMEM (DMA for visit i+1 overlaps the
-    reduction of visit i).  Accumulation order matches the slot kernel's
-    (tiles ascending), so the two schedules agree bit-for-bit.
-
-    With `sub_clip` the face block arrives as [n_sub, SUB, _DF]
-    (sub-chunks on an untiled leading axis), the accumulator lives in the
-    matching [n_sub, SUB, d_out] output block, and each visit
-    reads/updates only its live sub-chunk range [lo, hi) from
-    sub_ids_ref.  CAVEAT: this path is NOT bit-exact vs the full-block
-    sweep -- the [SUB, PIX] reduction expression tree rounds differently
-    (FMA-contraction choices) than [CHUNK, PIX], shifting gx/gy/gw by
-    ~1e-6 rel even when every sub-chunk is swept; hence SUBCLIP defaults
-    OFF and the bit-for-bit fused/slot guarantee above holds only with
-    it disabled."""
-    if sub_clip:
-        sub_ids_ref, face_ref, planes_hbm, out_ref, scratch, sem = rest
-    else:
-        face_ref, planes_hbm, out_ref, scratch, sem = rest
+    [CHUNK, d_out] sums over its live tile visits, streaming the
+    [n_planes, pix] plane tiles HBM->VMEM through a `depth`-slot rotating
+    scratch (up to depth-1 DMAs in flight ahead of the reduction).
+    Accumulation order matches the slot kernel's (tiles ascending), so
+    the two schedules agree bit-for-bit."""
+    face_ref, planes_hbm, out_ref, scratch, sem = rest
     d_out = 9 + 3 * channels
     r = pl.program_id(0)
     start = start_ref[r]
     n = count_ref[r]
 
-    def get_dma(slot, i):
+    def get_dma(i):
+        slot = jax.lax.rem(i, depth)
         return pltpu.make_async_copy(
             planes_hbm.at[tile_ids_ref[start + i]],
             scratch.at[slot], sem.at[slot])
 
-    @pl.when(n > 0)
-    def _warmup():
-        get_dma(0, 0).start()
+    for j in range(depth - 1):
+        @pl.when(j < n)
+        def _warmup(j=j):
+            get_dma(j).start()
 
-    if not sub_clip:
-        def body(i, acc):
-            slot = jax.lax.rem(i, 2)
+    def body(i, acc):
+        slot = jax.lax.rem(i, depth)
 
-            @pl.when(i + 1 < n)
-            def _prefetch():
-                get_dma(1 - slot, i + 1).start()
-
-            get_dma(slot, i).wait()
-
-            def plane(j):
-                return scratch[slot, j:j + 1, :]           # [1, PIX]
-
-            def col(j):
-                return face_ref[0, :, j:j + 1]             # [CHUNK, 1]
-
-            return acc + grad_dense.chunk_sums(col, plane, channels)
-
-        out_ref[0] = jax.lax.fori_loop(
-            0, n, body, jnp.zeros((CHUNK, d_out), jnp.float32))
-        return
-
-    n_sub = CHUNK // SUB
-    out_ref[0] = jnp.zeros((n_sub, SUB, d_out), jnp.float32)
-
-    def body(i, carry):
-        slot = jax.lax.rem(i, 2)
-
-        @pl.when(i + 1 < n)
+        @pl.when(i + depth - 1 < n)
         def _prefetch():
-            get_dma(1 - slot, i + 1).start()
+            get_dma(i + depth - 1).start()
 
-        get_dma(slot, i).wait()
+        get_dma(i).wait()
 
         def plane(j):
             return scratch[slot, j:j + 1, :]               # [1, PIX]
 
-        sub = sub_ids_ref[start + i]
+        def col(j):
+            return face_ref[0, :, j:j + 1]                 # [CHUNK, 1]
 
-        def sweep(s8, c):
-            def col(j):
-                return face_ref[0, s8, :, j:j + 1]         # [SUB, 1]
+        return acc + grad_dense.chunk_sums(col, plane, channels)
 
-            out_ref[0, s8] = out_ref[0, s8] + grad_dense.chunk_sums(
-                col, plane, channels)
-            return c
-
-        return jax.lax.fori_loop(sub // 256, jax.lax.rem(sub, 256),
-                                 sweep, carry)
-
-    jax.lax.fori_loop(0, n, body, 0)
+    out_ref[0] = jax.lax.fori_loop(
+        0, n, body, jnp.zeros((CHUNK, d_out), jnp.float32))
 
 
 def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
@@ -282,13 +239,6 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
         planes = planes.transpose(0, 2, 4, 1, 3, 5).reshape(
             batch * num_tiles, n_planes, pix)
 
-    # n_sub < 256: build_runs packs each visit's live range as lo*256+hi,
-    # so 256+ sub-chunks would overflow the encoding (hi == 256 decodes as
-    # (lo+1, 0): an empty sweep that silently skips live blocks).
-    sub_clip = (FUSED and SUBCLIP and CHUNK % SUB == 0
-                and CHUNK // SUB < 256)
-    n_sub = CHUNK // SUB
-
     def pack_one(v, f):
         face_data = grad_tables._grad_face_table(
             v, f, height, width, num_blocks * CHUNK - num_faces)
@@ -304,20 +254,13 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
         hit = forward_blocks.hit_matrix(
             face_data, (0, 1, 2, 3), num_blocks, CHUNK,
             tiles_y, tiles_x, tile_h, TILE_W,
-            edge_cols=12, height=height, width=width, dilate=1,
-            sub_chunk=SUB if sub_clip else None)
+            edge_cols=12, height=height, width=width, dilate=1)
         # Transposed CSR: runs are blocks, items are tiles.  The dropped
         # count is discarded here: the gradient side has no aux channel, and
         # the forward pass over the same geometry (whose dilation-narrower
         # bboxes make its schedule a near-subset of this one) already
         # surfaces overflow via RasterAux.dropped before gradients run.
-        if sub_clip:
-            hit, lo, hi = hit
         table = face_data.reshape(num_blocks, CHUNK, grad_tables._DF)
-        if sub_clip:
-            starts, counts, tile_ids, sub_ids, _ = forward_blocks.build_runs(
-                hit.T, num_slots, lo.T, hi.T)
-            return table, starts, counts, tile_ids, sub_ids, order
         if FUSED:
             starts, counts, tile_ids, _ = forward_blocks.build_runs(
                 hit.T, num_slots)
@@ -327,10 +270,7 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
         return table, slot_run, slot_item, slot_dma, order
 
     packed = jax.vmap(pack_one)(vertices, faces)
-    if sub_clip:
-        face_table, csr_a, csr_b, csr_c, csr_sub, row_face = packed
-    else:
-        face_table, csr_a, csr_b, csr_c, row_face = packed
+    face_table, csr_a, csr_b, csr_c, row_face = packed
     boff = jnp.arange(batch, dtype=jnp.int32)[:, None]
     face_table = face_table.reshape(
         batch * num_blocks, CHUNK, grad_tables._DF)
@@ -346,32 +286,19 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
         if not fused_pre:
             planes = jnp.pad(planes,
                              ((0, 0), (0, np_dma - n_planes), (0, 0)))
-        extra = ()
-        if sub_clip:
-            # Sub-chunks on an untiled leading axis (see forward_blocks).
-            face_table = face_table.reshape(
-                batch * num_blocks, n_sub, SUB, grad_tables._DF)
-            extra = (csr_sub.reshape(-1),)                     # [B*S]
-            face_spec = pl.BlockSpec((1, n_sub, SUB, grad_tables._DF),
-                                     lambda r, *_: (r, 0, 0, 0),
-                                     memory_space=pltpu.VMEM)
-            out_spec = pl.BlockSpec((1, n_sub, SUB, d_out),
-                                    lambda r, *_: (r, 0, 0, 0),
-                                    memory_space=pltpu.VMEM)
-            out_shape = (batch * num_blocks, n_sub, SUB, d_out)
-        else:
-            face_spec = pl.BlockSpec((1, CHUNK, grad_tables._DF),
-                                     lambda r, *_: (r, 0, 0),
-                                     memory_space=pltpu.VMEM)
-            out_spec = pl.BlockSpec((1, CHUNK, d_out),
-                                    lambda r, *_: (r, 0, 0),
-                                    memory_space=pltpu.VMEM)
-            out_shape = (batch * num_blocks, CHUNK, d_out)
+        face_spec = pl.BlockSpec((1, CHUNK, grad_tables._DF),
+                                 lambda r, *_: (r, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((1, CHUNK, d_out),
+                                lambda r, *_: (r, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = (batch * num_blocks, CHUNK, d_out)
+        depth = depth_for()
         kernel = functools.partial(_grad_kernel_fused, channels=channels,
-                                   sub_clip=sub_clip)
+                                   depth=depth)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            # starts, counts [B*NB], tile_ids [B*S] (+ sub_ids [B*S])
-            num_scalar_prefetch=3 + len(extra),
+            # starts, counts [B*NB], tile_ids [B*S]
+            num_scalar_prefetch=3,
             grid=(batch * num_blocks,),
             in_specs=[
                 face_spec,
@@ -381,8 +308,8 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
             ],
             out_specs=out_spec,
             scratch_shapes=[
-                pltpu.VMEM((2, np_dma, pix), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((depth, np_dma, pix), jnp.float32),
+                pltpu.SemaphoreType.DMA((depth,)),
             ],
         )
         face_grads = pl.pallas_call(
@@ -395,7 +322,7 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
                 # match the forward kernel's raised scoped-VMEM limit.
                 vmem_limit_bytes=64 * 1024 * 1024),
             interpret=interpret,
-        )(starts, counts, tile_ids, *extra, face_table, planes)
+        )(starts, counts, tile_ids, face_table, planes)
     else:
         slot_run = (csr_a + num_blocks * boff).reshape(-1)     # [B*S]
         slot_item = csr_b.reshape(-1)                          # active flag

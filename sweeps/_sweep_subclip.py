@@ -1,5 +1,15 @@
-"""Device A/B for per-visit sub-chunk range clipping in the fused-CSR
-forward (DIRT_TPU_SUBCLIP).
+"""[HISTORICAL -- the SUBCLIP feature was removed after this A/B lost]
+Device A/B for per-visit sub-chunk range clipping in the fused-CSR
+forward (DIRT_TPU_SUBCLIP) and gradient (DIRT_TPU_GRAD_SUBCLIP).
+
+Round-4 result (TPU v5e, recorded in BASELINE.md): subclip LOSES at every
+size on both passes -- fwd 2.6 -> 3.35 ms at 512 faces (BIT-EXACT),
+7.2 -> 11.33 at 2048; bwd 1.91 -> 2.52 and 5.68 -> 8.6 (grad relerr vs
+xla 2.1e-7/2.8e-7 on device for both variants).  The dynamic fori bounds
+and [SUB, PIX]-sliced sweeps cost more than the ~28% lane saving
+available (sweeps/_probe_visits.py), so the feature was deleted; this
+script no longer runs against HEAD (the monkeypatched constants are
+gone) and is kept as measurement provenance.
 
 The fused forward sweeps a whole [CHUNK=64, PIX] plane per (tile, block)
 visit; with Morton-sorted blocks most of the 64 face rows cannot reach a

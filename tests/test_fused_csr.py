@@ -47,16 +47,18 @@ def test_build_runs_truncation_counts_lost_visits():
     np.testing.assert_array_equal(np.asarray(counts), [3, 3, 1, 0])
 
 
-@pytest.mark.parametrize("subclip", [False, True])
+@pytest.mark.parametrize("group,depth", [(1, 2), (0, 0)])
 @pytest.mark.parametrize("nf", [40, 600])
-def test_forward_fused_matches_slot_bitwise(monkeypatch, nf, subclip):
+def test_forward_fused_matches_slot_bitwise(monkeypatch, nf, group, depth):
+    # (1, 2) = the ungrouped double-buffered round-3 schedule; (0, 0) =
+    # the auto tile-grouped depth-pipelined schedule.  Both must match the
+    # slot schedule bit-for-bit (same sweep expression tree per tile).
     bg, v, c, f = _scene(7, max(48, nf // 2), nf, 64, 128)
     monkeypatch.setattr(forward_blocks, "FUSED", False)
     px_s, aux_s = dispatch.forward_batch(bg, v, c, f, "blocks")
     monkeypatch.setattr(forward_blocks, "FUSED", True)
-    # The forward IS bitwise invariant to sub-chunk clipping (the
-    # lexicographic merge is partition-independent), unlike the gradient.
-    monkeypatch.setattr(forward_blocks, "SUBCLIP", subclip)
+    monkeypatch.setattr(forward_blocks, "GROUP", group)
+    monkeypatch.setattr(forward_blocks, "DEPTH", depth)
     px_f, aux_f = dispatch.forward_batch(bg, v, c, f, "blocks")
     np.testing.assert_array_equal(np.asarray(px_f), np.asarray(px_s))
     np.testing.assert_array_equal(np.asarray(aux_f.face_index),
@@ -80,10 +82,6 @@ def test_grad_fused_matches_slot_bitwise(monkeypatch, nf):
     # covers that comparison).
     monkeypatch.setattr(grad_blocks, "TILE_H", 8)
     monkeypatch.setattr(grad_blocks, "PREPASS", False)
-    # Sub-chunk clipping is NOT bitwise for the gradient (the [SUB, PIX]
-    # expression tree rounds differently than [CHUNK, PIX]); the bit-exact
-    # fused/slot invariant holds only with it off -- which is its default.
-    monkeypatch.setattr(grad_blocks, "SUBCLIP", False)
     monkeypatch.setattr(grad_blocks, "FUSED", False)
     g_s = backward.rasterise_grad_batch(v, f, pixels, gp, aux,
                                         implementation="blocks")
@@ -93,30 +91,6 @@ def test_grad_fused_matches_slot_bitwise(monkeypatch, nf):
     for name in ("grad_background", "grad_vertices", "grad_vertex_colors"):
         np.testing.assert_array_equal(np.asarray(getattr(g_f, name)),
                                       np.asarray(getattr(g_s, name)))
-
-
-def test_grad_fused_subclip_matches_slot_to_rounding(monkeypatch):
-    """Opt-in DIRT_TPU_GRAD_SUBCLIP: values match the slot schedule to
-    FMA-contraction rounding (the sweep-shape change re-rounds gx/gy/gw),
-    NOT bitwise -- this pins the relaxed guarantee the opt-in ships with."""
-    bg, v, c, f = _scene(5, 48, 40, 48, 128)
-    pixels, aux = dispatch.forward_batch(bg, v, c, f, "dense")
-    gp = jnp.asarray(np.random.RandomState(3).randn(
-        *np.asarray(pixels).shape), jnp.float32)
-    monkeypatch.setattr(grad_blocks, "TILE_H", 8)
-    monkeypatch.setattr(grad_blocks, "PREPASS", False)
-    monkeypatch.setattr(grad_blocks, "FUSED", False)
-    g_s = backward.rasterise_grad_batch(v, f, pixels, gp, aux,
-                                        implementation="blocks")
-    monkeypatch.setattr(grad_blocks, "FUSED", True)
-    monkeypatch.setattr(grad_blocks, "SUBCLIP", True)
-    g_f = backward.rasterise_grad_batch(v, f, pixels, gp, aux,
-                                        implementation="blocks")
-    for name in ("grad_background", "grad_vertices", "grad_vertex_colors"):
-        a = np.asarray(getattr(g_s, name))
-        b = np.asarray(getattr(g_f, name))
-        np.testing.assert_allclose(
-            b, a, atol=1e-5 * max(1.0, np.abs(a).max()))
 
 
 def test_fused_grad_matches_xla():
