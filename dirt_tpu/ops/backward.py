@@ -33,10 +33,20 @@ use only the real channels.  For channels == 3 (the common case) behaviour is
 identical.
 """
 
+import os as _os
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+# Opt-in improved occluder dilation (round-4 stretch): after the
+# reference's two axial attempts, also try the four diagonal neighbours
+# (parity-dithered order).  The reference documents diagonal neighbours as
+# an unhandled limitation (rasterise_grad_egl.cu:176-183); default OFF for
+# gradient parity with it.  Enabling forces the XLA pre-pass (the fused
+# Pallas pre-pass implements the two-attempt reference semantics only).
+# Quality A/B on the cylinder scene: sweeps/_ab_dilation.py / BASELINE.md.
+DIAGONAL = _os.environ.get("DIRT_TPU_DIAGONAL_DILATION", "0") != "0"
 
 
 class RasteriseGrads(NamedTuple):
@@ -127,10 +137,13 @@ def _dilate(indices, barycentric, clip_w, scharr_x, scharr_y,
 
     interior = ((rows > 0) & (rows < h - 1) & (cols > 0) & (cols < w - 1))
 
-    # Neighbour views for the four candidate offsets, (ox, oy) applied as
+    # Neighbour views for the candidate offsets, (ox, oy) applied as
     # image(r - oy, c + ox); fills are the background clear values so border
-    # reads can never dilate (interior mask also guards them).
+    # reads can never dilate (interior mask also guards them).  Offsets
+    # 4..7 are the DIAGONAL candidates of the opt-in improved dilation.
     offs = [(1, 0), (-1, 0), (0, 1), (0, -1)]
+    if DIAGONAL:
+        offs += [(1, 1), (-1, -1), (1, -1), (-1, 1)]
     n_idx = jnp.stack([_shift(indices, ox, oy, -1) for ox, oy in offs])
     n_bary = jnp.stack([_shift(barycentric, ox, oy, -1.0) for ox, oy in offs])
     n_w = jnp.stack([_shift(clip_w, ox, oy, jnp.inf) for ox, oy in offs])
@@ -143,7 +156,7 @@ def _dilate(indices, barycentric, clip_w, scharr_x, scharr_y,
         def sel(stack):
             c = choice[..., None] if stack.ndim == 4 else choice
             out = stack[0]
-            for k in range(1, 4):
+            for k in range(1, len(offs)):
                 out = jnp.where(c == k, stack[k], out)
             return out
         cand_idx = sel(n_idx)
@@ -172,6 +185,16 @@ def _dilate(indices, barycentric, clip_w, scharr_x, scharr_y,
     secondary = primary ^ 1  # opposite direction
     idx2, bary2, w2, face2, dilated = attempt(
         secondary, idx1, bary1, w1, face1, dilated)
+    if DIAGONAL:
+        # Opt-in: four diagonal attempts in a parity-dithered order
+        # (main diagonal pair first where flip is 0, anti-diagonal pair
+        # first where flip is 1, each pair's sign also dithered), firing
+        # only where no axial/earlier attempt adopted.
+        d_first = jnp.where(flip, jnp.where(horizontal, 6, 7),
+                            jnp.where(horizontal, 4, 5))
+        for c in (d_first, d_first ^ 1, d_first ^ 2, d_first ^ 3):
+            idx2, bary2, w2, face2, dilated = attempt(
+                c, idx2, bary2, w2, face2, dilated)
     if face_index is None:
         return idx2, bary2, w2, dilated
     return idx2, bary2, w2, dilated, face2

@@ -211,8 +211,11 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
     d_out = 9 + 3 * channels
     np_dma = _cdiv(n_planes, 8) * 8
 
-    fused_pre = (FUSED and PREPASS and prepass_fused.supported(
-        height, width, channels, tile_h, TILE_W, np_dma))
+    # backward.DIAGONAL forces the XLA pre-pass: the fused Pallas pre-pass
+    # implements the reference's two-attempt axial dilation only.
+    fused_pre = (FUSED and PREPASS and not backward.DIAGONAL
+                 and prepass_fused.supported(
+                     height, width, channels, tile_h, TILE_W, np_dma))
     if fused_pre:
         planes, dilated = prepass_fused.plane_stack(
             pixels, grad_pixels, aux, tile_h, TILE_W, np_dma,

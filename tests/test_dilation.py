@@ -54,6 +54,40 @@ def test_dilation_adopts_occluder_at_boundary():
     assert not dilated[H // 2, left_edge + 3: left_edge + 6].any()
 
 
+def test_diagonal_dilation_adopts_occluder_at_corner():
+    # At the front square's corner, the diagonally-outside backdrop pixel
+    # has NO axial neighbour over the occluder -- the reference documents
+    # this as an unhandled limitation (rasterise_grad_egl.cu:176-183) and
+    # the default (parity) mode must leave it un-dilated.  The opt-in
+    # DIRT_TPU_DIAGONAL_DILATION mode must adopt the occluder there.
+    pixels, aux, _ = _occlusion_aux()
+    scharr_x, scharr_y = backward.scharr_filters(pixels)
+    indices = aux.indices[0]
+
+    front = np.asarray(indices[..., 0]) < 4
+    rows, cols = np.where(front)
+    r0, c0 = rows.min(), cols[rows == rows.min()].min()
+    assert front[r0, c0] and not front[r0 - 1, c0] and not front[r0, c0 - 1]
+
+    saved = backward.DIAGONAL
+    try:
+        backward.DIAGONAL = False
+        *_, dil_off = backward._dilate(
+            indices, aux.barycentric[0], aux.clip_w[0], scharr_x, scharr_y)
+        backward.DIAGONAL = True
+        idx_on, _, w_on, dil_on = backward._dilate(
+            indices, aux.barycentric[0], aux.clip_w[0], scharr_x, scharr_y)
+    finally:
+        backward.DIAGONAL = saved
+
+    assert not np.asarray(dil_off)[r0 - 1, c0 - 1]
+    assert np.asarray(dil_on)[r0 - 1, c0 - 1]
+    assert np.asarray(idx_on)[r0 - 1, c0 - 1, 0] < 4   # adopted the occluder
+    assert np.asarray(w_on)[r0 - 1, c0 - 1] == 1.0
+    # Diagonal mode only ADDS adoptions: every axially-dilated pixel stays.
+    assert (np.asarray(dil_off) <= np.asarray(dil_on)).all()
+
+
 def test_dilation_never_fires_without_depth_difference():
     # Coplanar same-w squares: the strict clip_w comparison
     # (rasterise_grad_egl.cu:165) must keep dilation off everywhere.
