@@ -98,7 +98,24 @@ GROUP = int(_os.environ.get("DIRT_TPU_BLOCKS_GROUP", "0"))
 # which leaves the sweep DMA-latency-bound in the dense-face regime
 # (~2.7 us/visit at 8192 faces vs ~0.6 us of compute).
 DEPTH = int(_os.environ.get("DIRT_TPU_BLOCKS_DEPTH", "0"))
+# Resident face-table mode for the fused schedule: when the per-image
+# (lane-padded) table fits this VMEM budget, it rides a per-image VMEM
+# BlockSpec (one pipeline fetch per image, amortised over the image's
+# tile-group steps) and each visit reads its face block by dynamic index
+# -- no per-visit DMA start/semaphore wait.  Value in MB; -1 = never,
+# 0 = auto (12 MB: double-buffered 24 MB under the 64 MB scoped limit).
+# Default NEVER until the device A/B + parity run is recorded in
+# BASELINE.md (sweeps/_sweep_resident.py) -- no default-ON kernel change
+# without one (VERDICT r3 item 1's process rule).
+RESIDENT_MB = float(_os.environ.get("DIRT_TPU_BLOCKS_RESIDENT_MB", "-1"))
 _BASE = forward_pallas._BASE
+
+
+def resident_budget_bytes(env_mb):
+    """Shared by the forward and gradient fused kernels."""
+    if env_mb < 0:
+        return 0
+    return int((env_mb or 12.0) * 1024 * 1024)
 
 
 def group_for(num_tiles):
@@ -366,6 +383,53 @@ def build_runs(hit, num_slots):
     return starts, counts, item_ids, dropped
 
 
+def _raster_kernel_fused_resident(start_ref, count_ref, block_ids_ref,
+                                  face_ref, state_ref, *, height, width,
+                                  channels, tiles_x, num_tiles, tile_h,
+                                  tile_w, group, blocks_per_image):
+    """Resident variant of the grouped fused kernel: the image's WHOLE
+    face table arrives as one VMEM block (fetched by the Pallas pipeline
+    once per image -- consecutive grid steps with an unchanged index_map
+    skip the re-fetch), and each visit reads its face block by dynamic
+    index instead of streaming it through a manual DMA.  Removes the
+    per-visit DMA start + semaphore wait (~the measured 1.5-2 us gap
+    between per-visit time and the sweep's op-count floor) for every mesh
+    whose per-image table fits the VMEM budget (auto threshold in
+    rasterise_batch).  Output is bit-exact vs the DMA schedule: identical
+    sweep expression tree and visit order, only the face-block transport
+    differs."""
+    pix = tile_h * tile_w
+    ns = channels + 9
+    r = pl.program_id(0)
+    t0 = r * group
+
+    for g in range(group):
+        t = t0 + g
+        tile = jax.lax.rem(t, num_tiles)
+        tile_row = (tile // tiles_x) * tile_h
+        tile_col = jax.lax.rem(tile, tiles_x) * tile_w
+        start = start_ref[t]
+        n = count_ref[t]
+        xg, yg = forward_dense.pixel_ndc(tile_row, tile_col, height, width,
+                                         pix, tile_w)
+
+        def body(i, state, start=start, xg=xg, yg=yg):
+            # block_ids are batch-folded; the BlockSpec already selected
+            # this image's table slice.
+            bid = jax.lax.rem(block_ids_ref[start + i], blocks_per_image)
+
+            def col(j):
+                return face_ref[0, bid, :, j:j + 1]         # [CHUNK, 1]
+
+            cand, best_depth, best_orig = forward_dense.chunk_candidates(
+                col, xg, yg, channels)
+            return forward_dense.merge_state(
+                state, cand, best_depth, best_orig, ns)
+
+        state_ref[0, g] = jax.lax.fori_loop(
+            0, n, body, forward_dense.init_state(channels, pix))
+
+
 def _raster_kernel_fused(start_ref, count_ref, block_ids_ref, *rest,
                          height, width, channels, tiles_x, num_tiles,
                          tile_h, tile_w, group, depth):
@@ -513,27 +577,50 @@ def rasterise_batch(background, vertices, vertex_colors, faces,
                              ((0, 0), (0, 0), (0, width_dma - width_d)))
         group = group_for(num_tiles)
         depth = depth_for()
-        kernel = functools.partial(
-            _raster_kernel_fused, height=height, width=width,
-            channels=channels, tiles_x=tiles_x, num_tiles=num_tiles,
-            tile_h=tile_h, tile_w=tile_w, group=group, depth=depth)
-        scratch_shape = (depth, chunk, width_dma)
+        table_bytes = num_blocks * chunk * width_dma * 4
+        resident = table_bytes <= resident_budget_bytes(RESIDENT_MB)
+        if resident:
+            steps_per_image = num_tiles // group
+            kernel = functools.partial(
+                _raster_kernel_fused_resident, height=height, width=width,
+                channels=channels, tiles_x=tiles_x, num_tiles=num_tiles,
+                tile_h=tile_h, tile_w=tile_w, group=group,
+                blocks_per_image=num_blocks)
+            in_specs = [
+                # The image's whole table as one VMEM block: the pipeline
+                # fetches it once per image (index_map constant across the
+                # image's tile-group steps).
+                pl.BlockSpec((1, num_blocks, chunk, width_dma),
+                             lambda r, *_: (r // steps_per_image, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+            scratch_shapes = []
+            face_arg = face_table.reshape(
+                batch, num_blocks, chunk, width_dma)
+        else:
+            kernel = functools.partial(
+                _raster_kernel_fused, height=height, width=width,
+                channels=channels, tiles_x=tiles_x, num_tiles=num_tiles,
+                tile_h=tile_h, tile_w=tile_w, group=group, depth=depth)
+            in_specs = [
+                # Face blocks stay in HBM; the kernel streams the group's
+                # live visits through a depth-slot rotating VMEM scratch.
+                pl.BlockSpec(memory_space=pl.ANY),
+            ]
+            scratch_shapes = [
+                pltpu.VMEM((depth, chunk, width_dma), jnp.float32),
+                pltpu.SemaphoreType.DMA((depth,)),
+            ]
+            face_arg = face_table
         grid_spec = pltpu.PrefetchScalarGridSpec(
             # starts, counts [B*T], block_ids [B*S]
             num_scalar_prefetch=3,
             grid=(batch * num_tiles // group,),
-            in_specs=[
-                # Face blocks stay in HBM; the kernel streams the group's
-                # live visits through a depth-slot rotating VMEM scratch.
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, group, ns, pix),
                                    lambda r, *_: (r, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
-            scratch_shapes=[
-                pltpu.VMEM(scratch_shape, jnp.float32),
-                pltpu.SemaphoreType.DMA((depth,)),
-            ],
+            scratch_shapes=scratch_shapes,
         )
         state = pl.pallas_call(
             kernel,
@@ -546,7 +633,7 @@ def rasterise_batch(background, vertices, vertex_colors, faces,
                 # the 16 MB scoped default is ~1% short at the bench config.
                 vmem_limit_bytes=64 * 1024 * 1024),
             interpret=interpret,
-        )(starts, counts, block_ids, face_table)
+        )(starts, counts, block_ids, face_arg)
     else:
         slot_tile = (csr_a + num_tiles * boff).reshape(-1)     # [B*S]
         slot_block = csr_b.reshape(-1)                         # active flag

@@ -67,6 +67,8 @@ def tile_shape(height, width):
     th = TILE_H or (16 if tw >= 256 else 32)
     return th, tw
 FUSED = _os.environ.get("DIRT_TPU_DENSE_FUSED", "1") != "0"
+# Sweep slab height (0 = full-chunk sweep); see chunk_candidates.
+SLAB = int(_os.environ.get("DIRT_TPU_SWEEP_SLAB", "0"))
 _BASE = forward_pallas._BASE
 
 # Packed per-pixel state rows (all float32; ints are exact below 2^24):
@@ -110,7 +112,35 @@ def chunk_candidates(col, xg, yg, channels):
     best_orig [1, pix]).  Shared by the dense, fused-dense and
     block-binned kernels so their per-fragment arithmetic is the same
     expression tree (the bit-exact-visibility invariant).
+
+    With DIRT_TPU_SWEEP_SLAB=S (S >= 2 dividing the chunk), the chunk is
+    swept in S-row slabs merged sequentially through `merge_state`.  The
+    result is bitwise-identical to the full-chunk sweep: the winner pick
+    is a lexicographic (depth, original index) MIN -- exactly associative
+    -- and each pick() "sum" has exactly one non-zero row per pixel
+    (within the winning slab it selects the same row value; a -0.0 winner
+    row still normalises to +0.0 as long as S >= 2).  The point is
+    register pressure: the full-chunk form keeps ~10 live [CHUNK, PIX]
+    planes (~320 vregs at 64x512), far over the register file, so Mosaic
+    spills intermediates to VMEM; S=8 slabs keep the live set at
+    [8, PIX].
     """
+    k = col(0).shape[0]
+    s = SLAB
+    if s >= 2 and k > s and k % s == 0:
+        ns = channels + 9
+        out = None
+        for s0 in range(0, k, s):
+            def scol(i, s0=s0):
+                return col(i)[s0:s0 + s]
+            cand, bd, bo = _chunk_candidates(scol, xg, yg, channels)
+            out = (cand if out is None
+                   else merge_state(out, cand, bd, bo, ns))
+        return out, out[ns - 2:ns - 1, :], out[ns - 1:ns, :]
+    return _chunk_candidates(col, xg, yg, channels)
+
+
+def _chunk_candidates(col, xg, yg, channels):
     E0 = col(0) * xg + col(1) * yg + col(2)
     E1 = col(3) * xg + col(4) * yg + col(5)
     E2 = col(6) * xg + col(7) * yg + col(8)

@@ -90,6 +90,15 @@ PREPASS = _os.environ.get("DIRT_TPU_FUSED_PREPASS", "1") != "0"
 DEPTH = int(_os.environ.get("DIRT_TPU_GRAD_BLOCKS_DEPTH", "0"))
 
 
+# Resident plane-stack mode: when the per-image tile-major plane stack
+# fits the budget (see forward_blocks.resident_budget_bytes), it rides a
+# per-image VMEM BlockSpec (one pipeline fetch per image) and visits read
+# their tile's planes by dynamic index -- no per-visit DMA start/wait.
+# MB; -1 = never, 0 = auto (12 MB).  Default NEVER until the device
+# A/B + parity run is recorded in BASELINE.md (_sweep_resident.py).
+RESIDENT_MB = float(_os.environ.get("DIRT_TPU_GRAD_RESIDENT_MB", "-1"))
+
+
 def depth_for():
     return DEPTH or 4
 
@@ -123,6 +132,35 @@ def _grad_kernel(run_ref, item_ref, dma_ref, face_ref, planes_ref,
         # Shared reduction math (ops/grad_dense.chunk_sums) keeps this
         # backend's arithmetic identical to the dense kernels'.
         out_ref[0] += grad_dense.chunk_sums(col, plane, channels)
+
+
+def _grad_kernel_fused_resident(start_ref, count_ref, tile_ids_ref,
+                                face_ref, planes_ref, out_ref, *,
+                                channels, tiles_per_image):
+    """Resident variant of the fused gradient kernel: the image's WHOLE
+    tile-major plane stack arrives as one VMEM block (fetched by the
+    Pallas pipeline once per image) and each visit reads its tile's
+    planes by dynamic index instead of streaming them through a manual
+    DMA.  Accumulation order is unchanged (tiles ascending), so the
+    output is bit-exact vs the DMA schedule."""
+    d_out = 9 + 3 * channels
+    r = pl.program_id(0)
+    start = start_ref[r]
+    n = count_ref[r]
+
+    def body(i, acc):
+        tid = jax.lax.rem(tile_ids_ref[start + i], tiles_per_image)
+
+        def plane(j):
+            return planes_ref[0, tid, j:j + 1, :]          # [1, PIX]
+
+        def col(j):
+            return face_ref[0, :, j:j + 1]                 # [CHUNK, 1]
+
+        return acc + grad_dense.chunk_sums(col, plane, channels)
+
+    out_ref[0] = jax.lax.fori_loop(
+        0, n, body, jnp.zeros((CHUNK, d_out), jnp.float32))
 
 
 def _grad_kernel_fused(start_ref, count_ref, tile_ids_ref, *rest,
@@ -296,24 +334,46 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
                                 lambda r, *_: (r, 0, 0),
                                 memory_space=pltpu.VMEM)
         out_shape = (batch * num_blocks, CHUNK, d_out)
-        depth = depth_for()
-        kernel = functools.partial(_grad_kernel_fused, channels=channels,
-                                   depth=depth)
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            # starts, counts [B*NB], tile_ids [B*S]
-            num_scalar_prefetch=3,
-            grid=(batch * num_blocks,),
-            in_specs=[
+        stack_bytes = num_tiles * np_dma * pix * 4
+        resident = stack_bytes <= forward_blocks.resident_budget_bytes(
+            RESIDENT_MB)
+        if resident:
+            kernel = functools.partial(
+                _grad_kernel_fused_resident, channels=channels,
+                tiles_per_image=num_tiles)
+            in_specs = [
+                face_spec,
+                # The image's whole plane stack as one VMEM block: the
+                # pipeline fetches it once per image (index_map constant
+                # across the image's face-block steps).
+                pl.BlockSpec((1, num_tiles, np_dma, pix),
+                             lambda r, *_: (r // num_blocks, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+            scratch_shapes = []
+            planes_arg = planes.reshape(batch, num_tiles, np_dma, pix)
+        else:
+            depth = depth_for()
+            kernel = functools.partial(
+                _grad_kernel_fused, channels=channels, depth=depth)
+            in_specs = [
                 face_spec,
                 # Plane tiles stay in HBM; the kernel streams the block's
                 # live visits through a double-buffered VMEM scratch.
                 pl.BlockSpec(memory_space=pl.ANY),
-            ],
-            out_specs=out_spec,
-            scratch_shapes=[
+            ]
+            scratch_shapes = [
                 pltpu.VMEM((depth, np_dma, pix), jnp.float32),
                 pltpu.SemaphoreType.DMA((depth,)),
-            ],
+            ]
+            planes_arg = planes
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            # starts, counts [B*NB], tile_ids [B*S]
+            num_scalar_prefetch=3,
+            grid=(batch * num_blocks,),
+            in_specs=in_specs,
+            out_specs=out_spec,
+            scratch_shapes=scratch_shapes,
         )
         face_grads = pl.pallas_call(
             kernel,
@@ -325,7 +385,7 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
                 # match the forward kernel's raised scoped-VMEM limit.
                 vmem_limit_bytes=64 * 1024 * 1024),
             interpret=interpret,
-        )(starts, counts, tile_ids, face_table, planes)
+        )(starts, counts, tile_ids, face_table, planes_arg)
     else:
         slot_run = (csr_a + num_blocks * boff).reshape(-1)     # [B*S]
         slot_item = csr_b.reshape(-1)                          # active flag

@@ -49,6 +49,8 @@ TILE_H = int(_os.environ.get("DIRT_TPU_GRAD_DENSE_TILE_H", 32))
 TILE_W = int(_os.environ.get("DIRT_TPU_GRAD_DENSE_TILE_W", 128))
 CHUNK = int(_os.environ.get("DIRT_TPU_GRAD_DENSE_CHUNK", 64))
 FUSED = _os.environ.get("DIRT_TPU_GRAD_DENSE_FUSED", "1") != "0"
+# Reduction slab height (0 = full-chunk); see chunk_sums.
+SLAB = int(_os.environ.get("DIRT_TPU_GRAD_SLAB", "0"))
 
 
 def _cdiv(a, b):
@@ -66,7 +68,30 @@ def chunk_sums(col, plane, channels):
         8-10 bary_pre, 11 face_pre, 12.. grad_pixels channels
     Shared by the chunk-grid, fused and block-binned gradient kernels so
     the reduction arithmetic cannot drift between them.
+
+    With DIRT_TPU_GRAD_SLAB=S (S >= 1 dividing the chunk), the chunk's
+    face rows are processed in S-row slabs and the [S, d_out] results
+    concatenated.  BITWISE-identical by construction: every face row's
+    reduction is independent of the other rows, so slicing the row axis
+    changes nothing but the order the rows are materialised in.  The
+    point is register pressure: the full-chunk form keeps ~6 live
+    [CHUNK, PIX] planes (~768 vregs at 128x1024), far over the register
+    file, so Mosaic spills intermediates to VMEM; S=8 slabs keep the
+    live set at [8, PIX].
     """
+    k = col(0).shape[0]
+    s = SLAB
+    if s >= 1 and k > s and k % s == 0:
+        outs = []
+        for s0 in range(0, k, s):
+            def scol(i, s0=s0):
+                return col(i)[s0:s0 + s]
+            outs.append(_chunk_sums(scol, plane, channels))
+        return jnp.concatenate(outs, axis=0)
+    return _chunk_sums(col, plane, channels)
+
+
+def _chunk_sums(col, plane, channels):
     fid = col(4)                                       # original index
     mask_d = plane(7) == fid                           # [CHUNK, PIX]
     mask_pre = plane(11) == fid
