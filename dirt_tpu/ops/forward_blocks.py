@@ -104,9 +104,12 @@ DEPTH = int(_os.environ.get("DIRT_TPU_BLOCKS_DEPTH", "0"))
 # tile-group steps) and each visit reads its face block by dynamic index
 # -- no per-visit DMA start/semaphore wait.  Value in MB; -1 = never,
 # 0 = auto (12 MB: double-buffered 24 MB under the 64 MB scoped limit).
-# Default NEVER until the device A/B + parity run is recorded in
-# BASELINE.md (sweeps/_sweep_resident.py) -- no default-ON kernel change
-# without one (VERDICT r3 item 1's process rule).
+# Default NEVER: the device A/B (BASELINE.md "Round-4 resident VMEM
+# table A/B") measured neutral at 512 faces and a ~3% LOSS at scale --
+# the dynamic block-index address math costs more than the depth-4
+# pipeline's already-hidden DMA.  Kept as the measured proof that the
+# forward is VPU-issue-bound, not transport-bound (and for re-testing
+# fine chunks without per-visit DMA-start cost).
 RESIDENT_MB = float(_os.environ.get("DIRT_TPU_BLOCKS_RESIDENT_MB", "-1"))
 _BASE = forward_pallas._BASE
 

@@ -94,9 +94,10 @@ DEPTH = int(_os.environ.get("DIRT_TPU_GRAD_BLOCKS_DEPTH", "0"))
 # fits the budget (see forward_blocks.resident_budget_bytes), it rides a
 # per-image VMEM BlockSpec (one pipeline fetch per image) and visits read
 # their tile's planes by dynamic index -- no per-visit DMA start/wait.
-# MB; -1 = never, 0 = auto (12 MB).  Default NEVER until the device
-# A/B + parity run is recorded in BASELINE.md (_sweep_resident.py).
-RESIDENT_MB = float(_os.environ.get("DIRT_TPU_GRAD_RESIDENT_MB", "-1"))
+# MB; -1 = never, 0 = auto (12 MB).  Default AUTO: a consistent 2-3%
+# win at every measured size, bit-exact vs the DMA schedule on device
+# (BASELINE.md "Round-4 resident VMEM table A/B").
+RESIDENT_MB = float(_os.environ.get("DIRT_TPU_GRAD_RESIDENT_MB", "0"))
 
 
 def depth_for():

@@ -326,6 +326,48 @@ def spatial_sort_parity():
                                   np.asarray(g1.grad_background))
 
 
+def resident_parity():
+    # Resident VMEM table mode (DIRT_TPU_BLOCKS_RESIDENT_MB /
+    # DIRT_TPU_GRAD_RESIDENT_MB) on device: per-image VMEM BlockSpec +
+    # dynamic in-kernel block indexing must reproduce the per-visit
+    # manual-DMA schedule bit-for-bit on BOTH passes (identical sweep
+    # expression tree and visit order; only the transport differs).
+    # Dynamic-index VMEM reads are a new Mosaic pattern -- this is the
+    # multi-chunk/multi-tile device parity check the trap rules demand.
+    from dirt_tpu.ops import forward_blocks, grad_blocks
+    rng = np.random.RandomState(29)
+    n = 400
+    v = rng.randn(2, n, 4).astype(np.float32)
+    v[..., 3] = np.abs(v[..., 3]) + 0.5
+    f = rng.randint(0, n, size=(2, 300, 3)).astype(np.int32)
+    c = rng.uniform(size=(2, n, 3)).astype(np.float32)
+    bg = rng.uniform(size=(2, 64, 128, 3)).astype(np.float32)
+    gp = rng.randn(2, 64, 128, 3).astype(np.float32)
+    saved = forward_blocks.RESIDENT_MB, grad_blocks.RESIDENT_MB
+    try:
+        forward_blocks.RESIDENT_MB = -1.0
+        grad_blocks.RESIDENT_MB = -1.0
+        px0, aux0 = jax.jit(lambda b, vv, cc, ff, m=0: dispatch.forward_batch(
+            b, vv, cc, ff, "blocks"))(bg, v, c, f)
+        g0 = jax.jit(lambda vv, ff, pp, gg, m=0: backward.rasterise_grad_batch(
+            vv, ff, pp, gg, aux0, implementation="blocks"))(v, f, px0, gp)
+        forward_blocks.RESIDENT_MB = 1000.0
+        grad_blocks.RESIDENT_MB = 1000.0
+        px1, aux1 = jax.jit(lambda b, vv, cc, ff, m=1: dispatch.forward_batch(
+            b, vv, cc, ff, "blocks"))(bg, v, c, f)
+        g1 = jax.jit(lambda vv, ff, pp, gg, m=1: backward.rasterise_grad_batch(
+            vv, ff, pp, gg, aux0, implementation="blocks"))(v, f, px0, gp)
+    finally:
+        forward_blocks.RESIDENT_MB, grad_blocks.RESIDENT_MB = saved
+    assert (np.asarray(aux1.face_index)
+            == np.asarray(aux0.face_index)).all(), "resident visibility"
+    np.testing.assert_array_equal(np.asarray(px1), np.asarray(px0))
+    for name in ("grad_vertices", "grad_vertex_colors", "grad_background"):
+        assert (np.asarray(getattr(g1, name))
+                == np.asarray(getattr(g0, name))).all(), \
+            f"resident/DMA gradient schedules disagree on device: {name}"
+
+
 _TEXTURED_GRAD_SNIPPET = """
 import numpy as np
 import jax, jax.numpy as jnp
@@ -442,6 +484,7 @@ def main():
           closure_constant_regression)
     check("block-binned kernels parity (fwd + grad)", blocks_backend_parity)
     check("spatial-sort re-blocking parity (fwd + grad)", spatial_sort_parity)
+    check("resident VMEM table parity (fwd + grad)", resident_parity)
     check("textured renderer grads on device", textured_model)
     check("mosaic miscompile repro harness", mosaic_repro)
     if FAILURES:
