@@ -98,12 +98,15 @@ DEPTH = int(_os.environ.get("DIRT_TPU_GRAD_BLOCKS_DEPTH", "0"))
 # win at every measured size, bit-exact vs the DMA schedule on device
 # (BASELINE.md "Round-4 resident VMEM table A/B").
 RESIDENT_MB = float(_os.environ.get("DIRT_TPU_GRAD_RESIDENT_MB", "0"))
-# Accumulate-then-reduce schedule for the resident fused kernel: visits
-# ADD [CHUNK, PIX] product planes into a VMEM accumulator and the PIX
-# reduction runs once per block (see _grad_kernel_fused_resident_accum).
-# Reassociates the float summation -> relerr-gated vs XLA, NOT bitwise
-# vs the slot schedule.  Default OFF until the device A/B is recorded.
-ACCUM = _os.environ.get("DIRT_TPU_GRAD_ACCUM", "0") != "0"
+# (REMOVED, round 4: accumulate-then-reduce schedule, DIRT_TPU_GRAD_ACCUM.
+# Visits ADDED [CHUNK, PIX] product planes into a VMEM accumulator with
+# the PIX reduction hoisted to once per block.  The device A/B LOST at
+# every size (1.88->2.19 ms at 512 faces, 23.8->27.1 at 8192;
+# sweeps/_sweep_gaccum.py, BASELINE.md): the 3-access VMEM read-modify-
+# write per product plane costs more than the per-visit reduction tails
+# it saves -- Mosaic's cross-lane reductions are efficient, and the
+# round-4 partition A/B's "t4c128 matches t8c128" datum is explained by
+# loop/index overhead, not reduction tails.)
 
 
 def depth_for():
@@ -139,45 +142,6 @@ def _grad_kernel(run_ref, item_ref, dma_ref, face_ref, planes_ref,
         # Shared reduction math (ops/grad_dense.chunk_sums) keeps this
         # backend's arithmetic identical to the dense kernels'.
         out_ref[0] += grad_dense.chunk_sums(col, plane, channels)
-
-
-def _grad_kernel_fused_resident_accum(start_ref, count_ref, tile_ids_ref,
-                                      face_ref, planes_ref, out_ref,
-                                      acc_ref, *, channels,
-                                      tiles_per_image):
-    """Accumulate-then-reduce variant of the resident fused kernel: each
-    visit ADDS its d_out [CHUNK, PIX] product planes
-    (grad_dense.chunk_products) into a VMEM accumulator; the cross-lane
-    PIX reduction runs ONCE per block instead of once per visit.  The
-    per-visit cost becomes purely lane-proportional -- the round-4
-    partition A/B measured the hoisted reduction tails at ~50% of
-    per-visit time at the production t8/c128 partition.  Reassociates
-    the float summation (visits-then-pix), so this schedule is
-    relerr-gated vs XLA rather than bitwise vs the slot schedule."""
-    d_out = 9 + 3 * channels
-    r = pl.program_id(0)
-    start = start_ref[r]
-    n = count_ref[r]
-    acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
-
-    def body(i, carry):
-        tid = jax.lax.rem(tile_ids_ref[start + i], tiles_per_image)
-
-        def plane(j):
-            return planes_ref[0, tid, j:j + 1, :]          # [1, PIX]
-
-        def col(j):
-            return face_ref[0, :, j:j + 1]                 # [CHUNK, 1]
-
-        prods = grad_dense.chunk_products(col, plane, channels)
-        for j, pr in enumerate(prods):
-            acc_ref[j] += pr
-        return carry
-
-    jax.lax.fori_loop(0, n, body, 0)
-    out_ref[0] = jnp.concatenate(
-        [jnp.sum(acc_ref[j], axis=1, keepdims=True) for j in range(d_out)],
-        axis=1)
 
 
 def _grad_kernel_fused_resident(start_ref, count_ref, tile_ids_ref,
@@ -384,18 +348,10 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
         resident = stack_bytes <= forward_blocks.resident_budget_bytes(
             RESIDENT_MB)
         if resident:
-            if ACCUM:
-                kernel = functools.partial(
-                    _grad_kernel_fused_resident_accum, channels=channels,
-                    tiles_per_image=num_tiles)
-                scratch_shapes = [
-                    pltpu.VMEM((d_out, CHUNK, pix), jnp.float32),
-                ]
-            else:
-                kernel = functools.partial(
-                    _grad_kernel_fused_resident, channels=channels,
-                    tiles_per_image=num_tiles)
-                scratch_shapes = []
+            kernel = functools.partial(
+                _grad_kernel_fused_resident, channels=channels,
+                tiles_per_image=num_tiles)
+            scratch_shapes = []
             in_specs = [
                 face_spec,
                 # The image's whole plane stack as one VMEM block: the

@@ -91,36 +91,6 @@ def chunk_sums(col, plane, channels):
     return _chunk_sums(col, plane, channels)
 
 
-def chunk_products(col, plane, channels):
-    """The d_out [CHUNK, PIX] product planes whose PIX-sums are
-    chunk_sums' columns, in chunk_sums' exact column order.  For
-    accumulate-then-reduce schedules (grad_blocks ACCUM): summing these
-    planes across a block's tile visits and reducing over PIX once per
-    block computes the same per-face sums with the per-visit cross-lane
-    reduction tails (the measured ~50% lane-independent per-visit cost;
-    BASELINE.md round-4 partition A/B) hoisted out of the visit loop.
-    NOTE: this reassociates the float summation (pix-then-visits ->
-    visits-then-pix), so results differ from chunk_sums in rounding --
-    schedules using it are relerr-gated vs XLA, not bitwise vs the slot
-    schedule."""
-    fid = col(4)                                       # original index
-    mask_d = plane(7) == fid                           # [CHUNK, PIX]
-    mask_pre = plane(11) == fid
-    cx = (plane(4) * col(6) + plane(5) * col(7)) + plane(6) * col(8)
-    cy = (plane(4) * col(9) + plane(5) * col(10)) + plane(6) * col(11)
-    p = plane(2) * cx + plane(3) * cy
-    outs = []
-    for k in range(3):
-        wd = jnp.where(mask_d, plane(4 + k), 0.0)
-        outs.append(wd * plane(0))                     # gx_k
-        outs.append(wd * plane(1))                     # gy_k
-        outs.append(-(wd * p))                         # gw_k
-        wp = jnp.where(mask_pre, plane(8 + k), 0.0)
-        for c in range(channels):
-            outs.append(wp * plane(12 + c))            # gcolor_kc
-    return outs
-
-
 def _chunk_sums(col, plane, channels):
     fid = col(4)                                       # original index
     mask_d = plane(7) == fid                           # [CHUNK, PIX]

@@ -1,6 +1,10 @@
 """Device A/B for the accumulate-then-reduce gradient schedule
 (DIRT_TPU_GRAD_ACCUM, round 4).
 
+VERDICT (recorded in BASELINE.md): LOST at every size; the feature was
+REMOVED from grad_blocks.py, so this script is provenance only and no
+longer runs against HEAD.
+
 The round-4 partition A/B (BASELINE.md) showed t4/c128 matching t8/c128
 despite -22% swept lanes: ~half the per-visit cost is lane-INdependent
 -- the d_out cross-lane PIX-reduction tails.  ACCUM hoists them out of

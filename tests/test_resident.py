@@ -54,36 +54,6 @@ def test_forward_resident_bitwise():
                                   np.asarray(aux1.clip_w))
 
 
-def test_grad_accum_matches_to_rounding():
-    """ACCUM reassociates the summation (visits-then-pix), so it is NOT
-    bitwise vs the per-visit-reduce schedule -- but per-face sums must
-    agree to float rounding (and grad_background, untouched by the
-    kernel, bitwise)."""
-    bg, clip, colors, faces = _scene()
-    px, aux = jax.jit(lambda c: dispatch.forward_batch(
-        bg, c, colors, faces, backend="blocks"))(clip)
-    gp = jnp.asarray(np.random.RandomState(1).randn(
-        *np.asarray(px).shape).astype(np.float32))
-    saved = grad_blocks.RESIDENT_MB, grad_blocks.ACCUM
-    try:
-        grad_blocks.RESIDENT_MB, grad_blocks.ACCUM = 1000.0, False
-        g0 = jax.jit(lambda v: backward.rasterise_grad_batch(
-            v, faces, px, gp, aux, implementation="blocks"))(clip)
-        grad_blocks.ACCUM = True
-        g1 = jax.jit(lambda v, a=1: backward.rasterise_grad_batch(
-            v, faces, px, gp, aux, implementation="blocks"))(clip)
-    finally:
-        grad_blocks.RESIDENT_MB, grad_blocks.ACCUM = saved
-    np.testing.assert_array_equal(np.asarray(g0.grad_background),
-                                  np.asarray(g1.grad_background))
-    for name in ("grad_vertices", "grad_vertex_colors"):
-        a = np.asarray(getattr(g0, name))
-        b = np.asarray(getattr(g1, name))
-        scale = max(np.abs(a).max(), 1.0)
-        err = np.abs(a / scale - b / scale).max()
-        assert err < 1e-5, f"accum {name}: rel err {err:.2e}"
-
-
 def test_grad_resident_bitwise():
     bg, clip, colors, faces = _scene()
     px, aux = jax.jit(lambda c: dispatch.forward_batch(
