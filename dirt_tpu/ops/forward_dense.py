@@ -69,6 +69,11 @@ def tile_shape(height, width):
 FUSED = _os.environ.get("DIRT_TPU_DENSE_FUSED", "1") != "0"
 # Sweep slab height (0 = full-chunk sweep); see chunk_candidates.
 SLAB = int(_os.environ.get("DIRT_TPU_SWEEP_SLAB", "0"))
+# Coverage-test algebra: 1 = reduced-op boolean form (see _chunk_candidates;
+# provably the same `covered` bits as the spec tree), 0 = the literal
+# geometry.fragment_cover_depth expression tree.  Flag exists for the device
+# A/B (sweeps/_sweep_cover.py); outputs are bitwise-identical either way.
+COVER_FAST = _os.environ.get("DIRT_TPU_COVER_FAST", "1") != "0"
 _BASE = forward_pallas._BASE
 
 # Packed per-pixel state rows (all float32; ints are exact below 2^24):
@@ -150,15 +155,45 @@ def _chunk_candidates(col, xg, yg, channels):
     a0 = col(15) != 0.0
     a1 = col(16) != 0.0
     a2 = col(17) != 0.0
-    in_p = (((E0 > 0) | ((E0 == 0) & a0))
-            & ((E1 > 0) | ((E1 == 0) & a1))
-            & ((E2 > 0) | ((E2 == 0) & a2)))
-    in_n = (((E0 < 0) | ((E0 == 0) & ~a0))
-            & ((E1 < 0) | ((E1 == 0) & ~a1))
-            & ((E2 < 0) | ((E2 == 0) & ~a2)))
-    cov_p = in_p & (s_w > 0) & (s_z >= -s_w) & (s_z <= s_w)
-    cov_n = in_n & (s_w < 0) & (s_z <= -s_w) & (s_z >= s_w)
-    covered = (cov_p | cov_n) & (col(18) != 0.0)
+    if COVER_FAST:
+        # Reduced-op boolean form of geometry.fragment_cover_depth's
+        # coverage test (~28 [CHUNK, PIX] vector ops vs ~40 for the literal
+        # tree; the fused sweep is VPU-issue-bound, BASELINE.md round 4).
+        # ok_i is the spec's own positive fill-rule term; the savings are
+        # the two rewrites below.  (A select form ok_i = where(a_i, E>=0,
+        # E>0) would save 3 more ops but Mosaic cannot lower selects on
+        # BOOLEAN planes — arith.trunci i8->i1 is unsupported on v5e.)
+        # `covered` is bitwise-identical to the spec tree:
+        #   * The negative-branch edge term (E_i < 0) | ((E_i == 0) & ~a_i)
+        #     is exactly ~ok_i for non-NaN E_i (shared edges still rasterise
+        #     once), so in_n = ~(ok0 | ok1 | ok2) by De Morgan.  NaN E_i
+        #     makes this in_n True where the spec's is False, but a NaN E_i
+        #     forces s_w NaN (every s_w term carries an E factor, and
+        #     0 * NaN = NaN), so the strict (s_w < 0) gate kills coverage in
+        #     both trees.
+        #   * Under s_w > 0: (s_z >= -s_w) & (s_z <= s_w) <=> |s_z| <= s_w
+        #     = |s_w|; under s_w < 0: (s_z <= -s_w) & (s_z >= s_w) <=>
+        #     |s_z| <= -s_w = |s_w| (f32 abs is exact; NaN s_z fails all
+        #     forms).  The shared magnitude test distributes out of the
+        #     branch union because it is sign-independent.
+        ok0 = (E0 > 0) | ((E0 == 0) & a0)
+        ok1 = (E1 > 0) | ((E1 == 0) & a1)
+        ok2 = (E2 > 0) | ((E2 == 0) & a2)
+        in_p = ok0 & ok1 & ok2
+        in_n = ~(ok0 | ok1 | ok2)
+        covered = (((in_p & (s_w > 0)) | (in_n & (s_w < 0)))
+                   & (jnp.abs(s_z) <= jnp.abs(s_w))
+                   & (col(18) != 0.0))
+    else:
+        in_p = (((E0 > 0) | ((E0 == 0) & a0))
+                & ((E1 > 0) | ((E1 == 0) & a1))
+                & ((E2 > 0) | ((E2 == 0) & a2)))
+        in_n = (((E0 < 0) | ((E0 == 0) & ~a0))
+                & ((E1 < 0) | ((E1 == 0) & ~a1))
+                & ((E2 < 0) | ((E2 == 0) & ~a2)))
+        cov_p = in_p & (s_w > 0) & (s_z >= -s_w) & (s_z <= s_w)
+        cov_n = in_n & (s_w < 0) & (s_z <= -s_w) & (s_z >= s_w)
+        covered = (cov_p | cov_n) & (col(18) != 0.0)
     # Unmasked division as everywhere else (see geometry
     # fragment_cover_depth): the select discards inf/nan.
     depth = jnp.where(covered, s_z / s_w, jnp.inf)
