@@ -157,33 +157,45 @@ def _chunk_candidates(col, xg, yg, channels):
     a2 = col(17) != 0.0
     if COVER_FAST:
         # Reduced-op boolean form of geometry.fragment_cover_depth's
-        # coverage test (~28 [CHUNK, PIX] vector ops vs ~40 for the literal
+        # coverage test (~24 [CHUNK, PIX] vector ops vs ~40 for the literal
         # tree; the fused sweep is VPU-issue-bound, BASELINE.md round 4).
         # ok_i is the spec's own positive fill-rule term; the savings are
-        # the two rewrites below.  (A select form ok_i = where(a_i, E>=0,
+        # the three rewrites below.  (A select form ok_i = where(a_i, E>=0,
         # E>0) would save 3 more ops but Mosaic cannot lower selects on
         # BOOLEAN planes — arith.trunci i8->i1 is unsupported on v5e.)
-        # `covered` is bitwise-identical to the spec tree:
-        #   * The negative-branch edge term (E_i < 0) | ((E_i == 0) & ~a_i)
-        #     is exactly ~ok_i for non-NaN E_i (shared edges still rasterise
-        #     once), so in_n = ~(ok0 | ok1 | ok2) by De Morgan.  NaN E_i
-        #     makes this in_n True where the spec's is False, but a NaN E_i
-        #     forces s_w NaN (every s_w term carries an E factor, and
-        #     0 * NaN = NaN), so the strict (s_w < 0) gate kills coverage in
-        #     both trees.
+        # `covered` is bitwise-identical to the spec tree AND-ed with the
+        # valid flag:
+        #   * The sign-branch union folds into per-edge equality tests:
+        #     with sp := (s_w > 0), covered_pre := all(ok_i == sp) & (s_w
+        #     != 0).  Under s_w > 0 this is in_p.  Under s_w < 0 it is
+        #     in_n: the negative-branch edge term (E_i < 0) | ((E_i == 0)
+        #     & ~a_i) equals ~ok_i for non-NaN E_i (shared edges still
+        #     rasterise once), and s_w non-NaN forces every E_i non-NaN
+        #     (a NaN E_i makes s_w NaN — every s_w term carries an E
+        #     factor, and 0 * NaN = NaN).  s_w == +/-0 fails the != 0
+        #     gate exactly as both spec sign branches fail; NaN s_w
+        #     passes != 0 but dies on the magnitude test below, matching
+        #     the spec's false sign comparisons.
         #   * Under s_w > 0: (s_z >= -s_w) & (s_z <= s_w) <=> |s_z| <= s_w
         #     = |s_w|; under s_w < 0: (s_z <= -s_w) & (s_z >= s_w) <=>
         #     |s_z| <= -s_w = |s_w| (f32 abs is exact; NaN s_z fails all
         #     forms).  The shared magnitude test distributes out of the
         #     branch union because it is sign-independent.
-        ok0 = (E0 > 0) | ((E0 == 0) & a0)
-        ok1 = (E1 > 0) | ((E1 == 0) & a1)
-        ok2 = (E2 > 0) | ((E2 == 0) & a2)
-        in_p = ok0 & ok1 & ok2
-        in_n = ~(ok0 | ok1 | ok2)
-        covered = (((in_p & (s_w > 0)) | (in_n & (s_w < 0)))
-                   & (jnp.abs(s_z) <= jnp.abs(s_w))
-                   & (col(18) != 0.0))
+        #   * The valid-flag AND (col 18) is dropped: invalid (degenerate)
+        #     rows carry NaN z/w columns at pack time
+        #     (forward_pallas._face_table) -- a degenerate face's rounded
+        #     edge values CAN spuriously pass the fill rule, and the CSR
+        #     block schedule sweeps invalid blockmates of live blocks --
+        #     so s_z/s_w are NaN and the magnitude test kills coverage;
+        #     all-zero pad rows die on s_w == 0.  The spec tree keeps the
+        #     flag for the unbinned per-fragment path
+        #     (geometry.fragment_cover_depth).
+        sp = s_w > 0.0
+        d0 = ((E0 > 0) | ((E0 == 0) & a0)) == sp
+        d1 = ((E1 > 0) | ((E1 == 0) & a1)) == sp
+        d2 = ((E2 > 0) | ((E2 == 0) & a2)) == sp
+        covered = ((d0 & d1 & d2) & (s_w != 0.0)
+                   & (jnp.abs(s_z) <= jnp.abs(s_w)))
     else:
         in_p = (((E0 > 0) | ((E0 == 0) & a0))
                 & ((E1 > 0) | ((E1 == 0) & a1))

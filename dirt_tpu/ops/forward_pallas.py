@@ -98,10 +98,19 @@ def _face_table(vertices, vertex_colors, faces, height, width, pad_rows):
 
     corner_attrs = jnp.take(vertex_colors, faces, axis=0)  # [F, 3, C]
 
+    # Invalid (degenerate) rows additionally get NaN z/w columns: the CSR
+    # block schedule sweeps EVERY row of a block whose union bbox hits a
+    # tile, including invalid blockmates, and a degenerate face's rounded
+    # edge values can spuriously pass the fill rule.  NaN z/w forces
+    # s_z/s_w NaN so the per-fragment |s_z| <= |s_w| test kills coverage
+    # in both coverage trees -- this is what lets COVER_FAST drop the
+    # valid-flag AND from the hot sweep (forward_dense._chunk_candidates).
+    keep = valid[:, None]
     f32 = lambda a: a.astype(jnp.float32)
     face_data = jnp.concatenate([
         setup.e.reshape(num_faces, 9),
-        setup.z, setup.w,
+        jnp.where(keep, setup.z, jnp.nan),
+        jnp.where(keep, setup.w, jnp.nan),
         f32(setup.accept),
         f32(valid)[:, None],
         f32(jnp.arange(num_faces, dtype=jnp.int32))[:, None],
