@@ -340,9 +340,12 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
     `implementation`: "dense" (chunk-dense VPU-reduction kernel,
     ops/grad_dense.py), "blocks" (block-binned dense kernel for large
     meshes, ops/grad_blocks.py), "mxu" (mask-matrix contraction kernel,
-    ops/grad_mxu.py), "xla" (segment_sum scatters, this module), or None
-    for automatic (see _auto_grad_kernel; overridable with
-    DIRT_TPU_GRAD_BACKEND).  (A fifth path -- the round-1 face-major
+    ops/grad_mxu.py), "xla" (segment_sum scatters, this module), "pallas"
+    (alias for the size-based automatic Pallas-kernel choice production
+    deploys on device -- see _auto_grad_kernel), or None for automatic
+    (same choice on accelerators, "xla" on CPU; overridable with
+    DIRT_TPU_GRAD_BACKEND).  Unknown names raise ValueError rather than
+    silently falling through.  (A sixth path -- the round-1 face-major
     scalar-SMEM kernel -- was deleted in round 3: Mosaic miscompiled it on
     real TPUs; the minimised compiler-bug repro is
     repro/mosaic_scalar_smem_accum.py.)
@@ -365,6 +368,15 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
                                                pixels.shape[1:3])
         else:
             implementation = "xla"
+    if implementation == "pallas":
+        # The production Pallas choice, regardless of platform (the debug
+        # surface must show what the deployed kernel does; rasterise_ops.
+        # rasterise_grad_debug documents this name).
+        implementation = _auto_grad_kernel(faces.shape[1], pixels.shape[1:3])
+    if implementation not in ("dense", "mxu", "blocks", "xla"):
+        raise ValueError(
+            f"unknown gradient implementation {implementation!r}; expected "
+            "'dense', 'mxu', 'blocks', 'xla', 'pallas' or None/'auto'")
     if implementation == "dense":
         from . import grad_dense
         return grad_dense.rasterise_grad_batch(

@@ -18,10 +18,12 @@ Architectural differences from the reference (deliberate, TPU-first):
     RGBA-driven channel splitting (dirt/rasterise_ops.py:86-108).  Gradients
     *do* replicate the reference's 3+1 channel grouping, because grouping
     changes the Scharr/dilation decisions and hence the gradient values.
-  * ``shader_fn`` may safely close over tensors it needs gradients for ONLY if
-    they are passed via ``shader_additional_inputs`` (same caveat as the
-    reference, dirt/rasterise_ops.py:279-283, because the custom_vjp boundary
-    cannot see through closures).
+  * ``shader_fn`` may safely close over traced tensors: ``jax.closure_convert``
+    lifts them into explicit custom_vjp inputs so their gradients flow (the
+    TPU-native answer to the reference's ``variables`` kwarg of
+    ``tf.custom_gradient``, dirt/rasterise_ops.py:202,216-229, and the removal
+    of its ``shader_additional_inputs`` caveat at dirt/rasterise_ops.py:279-283;
+    the parameter is kept for API parity).
 """
 
 import functools
@@ -154,9 +156,11 @@ def rasterise_grad_debug(background, vertices, vertex_colors, faces,
     visualising/diagnosing the occlusion-boundary behaviour.  All arguments
     are single-image.
 
-    `grad_implementation` selects the gradient-assembly path ("pallas" /
-    "xla" / None for the same automatic choice production uses), so the debug
-    surface shows what the deployed kernel actually did.
+    `grad_implementation` selects the gradient-assembly path: "pallas" (the
+    size-based automatic Pallas-kernel choice production deploys on device),
+    an explicit kernel name ("dense" / "blocks" / "mxu" / "xla"), or None for
+    the platform-aware automatic choice -- so the debug surface shows what
+    the deployed kernel actually did.  Unknown names raise ValueError.
 
     Returns:
         (RasteriseGrads namedtuple with unbatched fields, debug image).
@@ -248,17 +252,29 @@ def rasterise_batch_deferred(background_attributes, vertices,
 
     ``shader_fn`` takes the batched G-buffer [batch, height, width, attrs] and
     the values of ``shader_additional_inputs``, and returns the final pixels
-    [batch, height, width, channels].  Any non-constant tensor the shader uses
-    must be passed via ``shader_additional_inputs`` for its gradient to be
-    correct.
+    [batch, height, width, channels].  Traced tensors the shader closes over
+    are lifted into explicit inputs via ``jax.closure_convert``, so their
+    gradients flow exactly as if they had been passed through
+    ``shader_additional_inputs`` (which remains supported for API parity with
+    the reference, dirt/rasterise_ops.py:279-283).
     """
     background_attributes = jnp.asarray(background_attributes, jnp.float32)
     vertices = jnp.asarray(vertices, jnp.float32)
     vertex_attributes = jnp.asarray(vertex_attributes, jnp.float32)
     faces = jnp.asarray(faces, jnp.int32)
     shader_inputs = tuple(jnp.asarray(s) for s in shader_additional_inputs)
-    return _deferred_core(shader_fn, background_attributes, vertices,
-                          vertex_attributes, faces, backend, shader_inputs)
+    # Lift traced tensors shader_fn closes over into explicit inputs so their
+    # cotangents cross the custom_vjp boundary (SURVEY.md section 7; the
+    # reference handles this with tf.custom_gradient's `variables` kwarg,
+    # dirt/rasterise_ops.py:202,216-229).  The G-buffer has exactly the
+    # background's shape/dtype, so it serves as the abstract example input.
+    # Concrete (non-traced) closure values are left in place.
+    converted_fn, hoisted = jax.closure_convert(
+        lambda gb, *si: shader_fn(gb, *si),
+        background_attributes, *shader_inputs)
+    return _deferred_core(converted_fn, background_attributes, vertices,
+                          vertex_attributes, faces, backend,
+                          shader_inputs + tuple(hoisted))
 
 
 def rasterise_deferred(background_attributes, vertices, vertex_attributes,

