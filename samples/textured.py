@@ -1,10 +1,13 @@
 """Textured deferred-shading sample with texture-recovery inverse rendering.
 
-Rasterises a 6-channel G-buffer (mask, UVs, normals), samples a procedural
-texture with bilinear filtering inside the shader, lights it, and then -- the
-part the reference's textured sample doesn't show -- recovers an unknown
-texture from the rendered image by descending through the UV/texture-sampling
-gradients.
+Rasterises a 6-channel G-buffer (mask, UVs, normals), samples a real
+photographic texture (samples/texture.jpg, the public-domain Grace Hopper
+portrait -- the TPU repo's stand-in for the reference's samples/cat.jpg)
+with bilinear filtering inside the shader, lights it, and then -- the part
+the reference's textured sample doesn't show -- recovers an unknown texture
+from the rendered image by descending through the UV/texture-sampling
+gradients.  Falls back to a procedural stripe texture if the image asset or
+PIL is unavailable.
 """
 
 import numpy as np
@@ -54,6 +57,22 @@ def stripes_texture(size=128):
     ], axis=-1).astype(np.float32)
 
 
+def photo_texture(size=128):
+    """Real-image texture (reference parity: dirt samples/textured.py
+    samples cat.jpg).  Returns the checked-in photo resized to
+    [size, size, 3] in [0, 1], or the procedural stripes if unavailable."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        'texture.jpg')
+    try:
+        from PIL import Image
+        with Image.open(path) as im:
+            im = im.convert('RGB').resize((size, size), Image.BILINEAR)
+            return np.asarray(im, np.float32) / 255.0
+    except Exception as exc:                        # pragma: no cover
+        print(f'photo texture unavailable ({exc}); using stripes')
+        return stripes_texture(size)
+
+
 def scene_clip_vertices(vertices_obj):
     homogeneous = jnp.concatenate(
         [jnp.asarray(vertices_obj), jnp.ones((len(vertices_obj), 1))], axis=1)
@@ -97,7 +116,7 @@ def render(texture, width=WIDTH, height=HEIGHT):
 
 
 def main():
-    true_texture = jnp.asarray(stripes_texture())
+    true_texture = jnp.asarray(photo_texture())
     save_ppm('textured.ppm', render(true_texture))
 
     # Texture recovery: start from grey, descend through the bilinear
