@@ -181,6 +181,40 @@ def test_closed_over_vertices_get_boundary_gradients():
     np.testing.assert_allclose(grad, float(fd), rtol=1e-3)
 
 
+def test_closure_combines_with_additional_inputs_and_int_closures():
+    # The closure_convert lift composes with explicit shader inputs in the
+    # same shader (gradients flow on both routes at once), and closing
+    # over a non-differentiable int array is harmless (its cotangent is a
+    # symbolic zero).
+    vertices, faces, attrs, bg = _scene()
+    light = jnp.asarray([0.8, 0.6, 0.4])
+    gain = jnp.asarray(1.3)
+
+    def loss(gain_, light_):
+        pixels = dirt_tpu.rasterise_deferred(
+            bg, vertices, attrs, faces,
+            shader_fn=lambda gb, lc: jnp.tanh(gb * gain_) * lc,
+            shader_additional_inputs=[light_])
+        return jnp.sum(pixels ** 2)
+
+    g_gain, g_light = jax.grad(loss, argnums=(0, 1))(gain, light)
+    eps = 1e-3
+    fd = (loss(gain + eps, light) - loss(gain - eps, light)) / (2 * eps)
+    np.testing.assert_allclose(float(g_gain), float(fd), rtol=1e-2)
+    assert np.abs(np.asarray(g_light)).sum() > 1e-4
+
+    sel = jnp.asarray([0, 1, 2], jnp.int32)
+
+    def loss_int(light_):
+        pixels = dirt_tpu.rasterise_deferred(
+            bg, vertices, attrs, faces,
+            shader_fn=lambda gb: gb[..., sel] * light_[None, None])
+        return jnp.sum(pixels ** 2)
+
+    g2 = np.asarray(jax.grad(loss_int)(light))
+    assert np.isfinite(g2).all() and np.abs(g2).sum() > 0
+
+
 def test_batch_deferred_matches_single():
     vertices, faces, attrs, bg = _scene()
     shader = lambda gbuffer: jnp.sqrt(jnp.abs(gbuffer) + 0.1)
