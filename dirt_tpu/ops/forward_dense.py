@@ -74,18 +74,13 @@ SLAB = int(_os.environ.get("DIRT_TPU_SWEEP_SLAB", "0"))
 # geometry.fragment_cover_depth expression tree.  Flag exists for the device
 # A/B (sweeps/_sweep_cover.py); outputs are bitwise-identical either way.
 COVER_FAST = _os.environ.get("DIRT_TPU_COVER_FAST", "1") != "0"
-# Round-5 sweep-algebra folds (see _chunk_candidates; bitwise-identical by
-# construction, pinned in tests/test_bitwise_invariants.py):
-#   * fill-rule zero fold: the per-edge term (E > 0) | ((E == 0) & a)
-#     becomes (where(E == 0, a ? 1 : -1, E) > 0) -- 4 vector ops per edge
-#     instead of 5 (the select's branch values are FLOAT planes, so the
-#     Mosaic boolean-select trap does not apply);
-#   * winner-mask fold: the at_best & (orig == best_orig) conjunction
-#     reuses the where(at_best, orig, BIG) plane already built for the
-#     best_orig reduction -- key == best_orig alone is the winner mask,
-#     because no face row ever carries orig == BIG (real rows < F <= 2^30,
-#     pad rows carry 0), so non-at_best rows (key == BIG) can never match.
-FOLD = _os.environ.get("DIRT_TPU_SWEEP_FOLD", "0") != "0"
+# (REMOVED, round 5: DIRT_TPU_SWEEP_FOLD -- a fill-rule zero fold
+# ((E > 0) | ((E == 0) & a) as (where(E == 0, a ? 1 : -1, E) > 0)) and a
+# winner-mask fold (key == best_orig alone, reusing the where(at_best,
+# orig, BIG) plane).  Both bitwise-identical and 4 plane ops cheaper by
+# count, but the device A/B LOST 2-5% at every size: Mosaic float selects
+# with broadcast operands cost more than the boolean chains they replaced
+# (sweeps/_sweep_fold.py, BASELINE.md round-5 section).)
 _BASE = forward_pallas._BASE
 
 # Packed per-pixel state rows (all float32; ints are exact below 2^24):
@@ -203,22 +198,9 @@ def _chunk_candidates(col, xg, yg, channels):
         #     flag for the unbinned per-fragment path
         #     (geometry.fragment_cover_depth).
         sp = s_w > 0.0
-        if FOLD:
-            # Zero fold: ok_i = (E > 0) | ((E == 0) & a)  ==  t_i > 0 with
-            # t_i = where(E == 0, a ? +1 : -1, E).  Case check: E > 0 ->
-            # t = E > 0 true; E < 0 -> t = E, false; E == +/-0 -> t = +/-1
-            # per a_i, reproducing the (E == 0) & a term; NaN E -> t = NaN,
-            # false -- identical to the spec term in every case.
-            pm0 = jnp.where(a0, 1.0, -1.0)               # [K, 1]
-            pm1 = jnp.where(a1, 1.0, -1.0)
-            pm2 = jnp.where(a2, 1.0, -1.0)
-            d0 = (jnp.where(E0 == 0.0, pm0, E0) > 0.0) == sp
-            d1 = (jnp.where(E1 == 0.0, pm1, E1) > 0.0) == sp
-            d2 = (jnp.where(E2 == 0.0, pm2, E2) > 0.0) == sp
-        else:
-            d0 = ((E0 > 0) | ((E0 == 0) & a0)) == sp
-            d1 = ((E1 > 0) | ((E1 == 0) & a1)) == sp
-            d2 = ((E2 > 0) | ((E2 == 0) & a2)) == sp
+        d0 = ((E0 > 0) | ((E0 == 0) & a0)) == sp
+        d1 = ((E1 > 0) | ((E1 == 0) & a1)) == sp
+        d2 = ((E2 > 0) | ((E2 == 0) & a2)) == sp
         covered = ((d0 & d1 & d2) & (s_w != 0.0)
                    & (jnp.abs(s_z) <= jnp.abs(s_w)))
     else:
@@ -242,15 +224,9 @@ def _chunk_candidates(col, xg, yg, channels):
     best_depth = jnp.min(depth, axis=0, keepdims=True)       # [1, PIX]
     at_best = depth == best_depth                            # [K, PIX]
     big = jnp.float32(forward_pallas._BIG)
-    key = jnp.where(at_best, orig_col, big)
-    best_orig = jnp.min(key, axis=0, keepdims=True)
-    if FOLD:
-        # key == best_orig alone is the winner mask: non-at_best rows hold
-        # BIG, and best_orig < BIG always (orig is < F for real rows, 0 for
-        # pad rows, so the at_best minimum never reaches BIG).
-        winner = key == best_orig
-    else:
-        winner = at_best & (orig_col == best_orig)
+    best_orig = jnp.min(jnp.where(at_best, orig_col, big), axis=0,
+                        keepdims=True)
+    winner = at_best & (orig_col == best_orig)
 
     def pick(plane):
         return jnp.sum(jnp.where(winner, plane, 0.0), axis=0,

@@ -51,16 +51,13 @@ CHUNK = int(_os.environ.get("DIRT_TPU_GRAD_DENSE_CHUNK", 64))
 FUSED = _os.environ.get("DIRT_TPU_GRAD_DENSE_FUSED", "1") != "0"
 # Reduction slab height (0 = full-chunk); see chunk_sums.
 SLAB = int(_os.environ.get("DIRT_TPU_GRAD_SLAB", "0"))
-# Round-5 reduction-algebra fold (see _chunk_sums): per-pixel weight
-# products (bary_d_k * ax, bary_d_k * ay, bary_pre_k * grad_c) are computed
-# on [1, PIX] rows BEFORE the winner-mask select instead of multiplying
-# full [CHUNK, PIX] planes after it, and the face-dependent w-term shares
-# ONE masked p plane across the three corners.  Saves 5 of the ~39
-# elementwise [CHUNK, PIX] ops per visit; summed values are identical up
-# to the sign of all-masked zero totals (masked-out lanes contribute +0
-# instead of 0 * plane = +/-0; covered lanes see the same product with the
-# same rounding).
-FOLD = _os.environ.get("DIRT_TPU_GRAD_FOLD", "0") != "0"
+# (REMOVED, round 5: DIRT_TPU_GRAD_FOLD -- per-pixel weight products
+# (bary_d_k*ax, bary_d_k*ay, bary_pre_k*grad_c) hoisted to [1, PIX] rows
+# before the winner-mask select, the three gw_k corners sharing one
+# masked-p plane: 5 fewer [CHUNK, PIX] elementwise ops of ~39 per visit by
+# count, value-identical.  The device A/B LOST 2-3% at every size: the
+# select's [1, PIX] -> [CHUNK, PIX] broadcast costs more than the plane
+# mul it saved (sweeps/_sweep_fold.py, BASELINE.md round-5 section).)
 
 
 def _cdiv(a, b):
@@ -115,21 +112,6 @@ def _chunk_sums(col, plane, channels):
         return jnp.sum(a, axis=1, keepdims=True)
 
     sums = []
-    if FOLD:
-        # Per-pixel weights multiply on [1, PIX] rows; the [CHUNK, PIX]
-        # work per reduction is one select (the w-term keeps its mul
-        # against the shared masked-p plane, which is face-dependent).
-        mp = jnp.where(mask_d, p, 0.0)
-        for k in range(3):
-            sums.append(rsum(jnp.where(mask_d, plane(4 + k) * plane(0),
-                                       0.0)))          # gx_k
-            sums.append(rsum(jnp.where(mask_d, plane(4 + k) * plane(1),
-                                       0.0)))          # gy_k
-            sums.append(-rsum(plane(4 + k) * mp))      # gw_k
-            for c in range(channels):
-                sums.append(rsum(jnp.where(
-                    mask_pre, plane(8 + k) * plane(12 + c), 0.0)))
-        return jnp.concatenate(sums, axis=1)           # [CHUNK, d_out]
     for k in range(3):
         wd = jnp.where(mask_d, plane(4 + k), 0.0)
         sums.append(rsum(wd * plane(0)))               # gx_k

@@ -12,10 +12,16 @@ calls) and tabulates their operations by output shape class:
 This is the measurement VERDICT r4 item 3 asked for: COVER_FAST proved the
 fused sweeps are VPU-issue-bound (plane-op count tracks device time), so
 the table quantifies each algebra arm before paying for a device A/B
-(sweeps/_sweep_cover.py, sweeps/_sweep_fold.py).  Trace trap: jax caches
-traces on the FUNCTION OBJECT, so each arm traces a freshly-defined
-wrapper (a shared wrapper re-traced after flipping a module flag silently
-returns the first arm's jaxpr).
+(sweeps/_sweep_cover.py, sweeps/_sweep_fold.py).  CAVEAT, learned from the
+round-5 fold A/B: the plane-COUNT model holds within an op kind but not
+across kinds -- the fold arms counted 4 (forward) / 5 (gradient) plane ops
+cheaper yet LOST 2-5% on device, because float selects with broadcast
+operands cost more than the boolean chains / broadcast-free muls they
+replaced (BASELINE.md round-5 section; the fold arms were removed, so this
+script now counts the surviving spec / COVER_FAST / production-gradient
+trees).  Trace trap: jax caches traces on the FUNCTION OBJECT, so each arm
+traces a freshly-defined wrapper (a shared wrapper re-traced after
+flipping a module flag silently returns the first arm's jaxpr).
 
 Usage:  PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python -m sweeps._count_ops
 """
@@ -76,18 +82,17 @@ def forward_table():
     table = jnp.zeros((CHUNK, width_d), jnp.float32)
 
     print("forward _chunk_candidates (per visit):")
-    for cover, fold in ((False, False), (True, False), (True, True)):
-        forward_dense.COVER_FAST, forward_dense.FOLD = cover, fold
+    for cover in (False, True):
+        forward_dense.COVER_FAST = cover
 
-        def sweep(table, xg, yg, _tag=(cover, fold)):
+        def sweep(table, xg, yg, _tag=cover):
             col = lambda i: table[:, i:i + 1]
             return forward_dense._chunk_candidates(col, xg, yg, C)[0]
 
         j = jax.make_jaxpr(sweep)(table, xg, yg)
-        tag = ("spec      " if not cover else
-               "cover_fast" if not fold else "fast+fold ")
+        tag = "spec      " if not cover else "cover_fast"
         print(f"  {tag}: {fmt(classify(j.jaxpr, CHUNK, PIX))}", flush=True)
-    forward_dense.COVER_FAST, forward_dense.FOLD = True, False
+    forward_dense.COVER_FAST = True
 
 
 def grad_table():
@@ -96,19 +101,14 @@ def grad_table():
     table = jnp.zeros((CHUNK, 32), jnp.float32)
 
     print("gradient _chunk_sums (per visit):")
-    for fold in (False, True):
-        grad_dense.FOLD = fold
 
-        def sums(table, planes, _tag=fold):
-            col = lambda i: table[:, i:i + 1]
-            plane = lambda i: planes[i:i + 1, :]
-            return grad_dense._chunk_sums(col, plane, C)
+    def sums(table, planes):
+        col = lambda i: table[:, i:i + 1]
+        plane = lambda i: planes[i:i + 1, :]
+        return grad_dense._chunk_sums(col, plane, C)
 
-        j = jax.make_jaxpr(sums)(table, planes)
-        tag = "base" if not fold else "fold"
-        print(f"  {tag}      : {fmt(classify(j.jaxpr, CHUNK, PIX))}",
-              flush=True)
-    grad_dense.FOLD = False
+    j = jax.make_jaxpr(sums)(table, planes)
+    print(f"  base      : {fmt(classify(j.jaxpr, CHUNK, PIX))}", flush=True)
 
 
 if __name__ == "__main__":

@@ -1,6 +1,15 @@
 """Device A/B for the round-5 sweep-algebra folds (DIRT_TPU_SWEEP_FOLD /
 DIRT_TPU_GRAD_FOLD).
 
+OUTCOME (recorded 2026-08-20, TPU v5e; this script is provenance of a
+REMOVED feature and no longer runs at HEAD -- the .FOLD flags are gone):
+the folds LOST 2-5% at every size on both passes despite counting 4-5
+plane ops cheaper, BIT-EXACT parity throughout (fwd 2.10->2.14 /
+6.06->6.39 / 24.91->26.08 ms, bwd 1.87->1.92 / 5.56->5.71 /
+23.88->24.34 ms at 512/2048/8192 faces).  Mosaic lesson: float selects
+with broadcast operands cost more than boolean chains or broadcast-free
+plane muls.  Full table + analysis in BASELINE.md round-5 section.
+
 Motivation (VERDICT r4 items 3-4): COVER_FAST proved the fused sweeps are
 VPU-issue-bound -- ops cut track time cut (~12 of ~100 forward ops ->
 -12.8% at 512 faces).  This A/B measures the next round of algebra, each

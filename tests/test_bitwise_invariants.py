@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import pytest
 
 from dirt_tpu.ops import backward, dispatch, forward_blocks, forward_dense
-from dirt_tpu.ops import grad_blocks, grad_dense
+from dirt_tpu.ops import grad_blocks
 
 
 def _scene(seed, nv, nf, h, w, batch=2):
@@ -79,44 +79,6 @@ def test_grad_resident_matches_dma_bitwise(monkeypatch, nf):
     for name in ("grad_background", "grad_vertices", "grad_vertex_colors"):
         np.testing.assert_array_equal(np.asarray(getattr(g_res, name)),
                                       np.asarray(getattr(g_dma, name)))
-
-
-@pytest.mark.parametrize("backend", ["dense", "blocks"])
-def test_sweep_fold_matches_base_bitwise(monkeypatch, backend):
-    # Round-5 forward algebra folds (fill-rule zero fold + winner-mask
-    # fold, forward_dense.FOLD): provably the same coverage bits and
-    # winner masks as the baseline tree -- see the proof comments at
-    # forward_dense._chunk_candidates.
-    bg, v, c, f = _scene(31, 64, 96, 48, 128)
-    monkeypatch.setattr(forward_dense, "FOLD", False)
-    px0, aux0 = dispatch.forward_batch(bg, v, c, f, backend)
-    monkeypatch.setattr(forward_dense, "FOLD", True)
-    px1, aux1 = dispatch.forward_batch(bg, v, c, f, backend)
-    np.testing.assert_array_equal(np.asarray(px1), np.asarray(px0))
-    np.testing.assert_array_equal(np.asarray(aux1.face_index),
-                                  np.asarray(aux0.face_index))
-    np.testing.assert_array_equal(np.asarray(aux1.dropped),
-                                  np.asarray(aux0.dropped))
-
-
-@pytest.mark.parametrize("impl", ["dense", "blocks"])
-def test_grad_fold_matches_base_bitwise(monkeypatch, impl):
-    # Round-5 gradient reduction fold (grad_dense.FOLD): per-pixel weight
-    # products on [1, PIX] rows before the mask select; identical summed
-    # values up to the sign of all-masked zero totals (== equality).
-    bg, v, c, f = _scene(37, 64, 96, 48, 128)
-    pixels, aux = dispatch.forward_batch(bg, v, c, f, "dense")
-    gp = jnp.asarray(np.random.RandomState(7).randn(
-        *np.asarray(pixels).shape), jnp.float32)
-    monkeypatch.setattr(grad_dense, "FOLD", False)
-    g0 = backward.rasterise_grad_batch(v, f, pixels, gp, aux,
-                                       implementation=impl)
-    monkeypatch.setattr(grad_dense, "FOLD", True)
-    g1 = backward.rasterise_grad_batch(v, f, pixels, gp, aux,
-                                       implementation=impl)
-    for name in ("grad_background", "grad_vertices", "grad_vertex_colors"):
-        np.testing.assert_array_equal(np.asarray(getattr(g1, name)),
-                                      np.asarray(getattr(g0, name)))
 
 
 def test_forward_resident_matches_dma_bitwise(monkeypatch):
