@@ -33,6 +33,7 @@ use only the real channels.  For channels == 3 (the common case) behaviour is
 identical.
 """
 
+import functools
 import os as _os
 from typing import NamedTuple
 
@@ -251,7 +252,8 @@ def grad_prepass(pixels, grad_pixels, aux):
         dilated=dilated)
 
 
-def rasterise_grad_single(vertices, faces, pixels, grad_pixels, aux):
+def rasterise_grad_single(vertices, faces, pixels, grad_pixels, aux,
+                          parts="all"):
     """Gradient assembly for one image.
 
     Args:
@@ -263,6 +265,12 @@ def rasterise_grad_single(vertices, faces, pixels, grad_pixels, aux):
             G-buffer here (dirt/rasterise_ops.py:204-237).
         grad_pixels: [H, W, C] upstream cotangent.
         aux: RasterAux from the forward pass on the same geometry.
+        parts: "all", "position" (vertex grads only -- the deferred path's
+            shaded-pixels call) or "color" (background + attribute grads
+            only, skipping Scharr + dilation entirely since colour grads
+            read pre-dilation coverage).  Skipped outputs return zeros;
+            computed outputs are bitwise-equal to parts="all" (the two
+            gradient groups are independent computations).
 
     Returns:
         RasteriseGrads.
@@ -275,24 +283,35 @@ def rasterise_grad_single(vertices, faces, pixels, grad_pixels, aux):
     h, w, channels = pixels.shape
     num_vertices = vertices.shape[0]
 
-    scharr_x, scharr_y = scharr_filters(pixels)
-
     indices = aux.indices          # [H, W, 3]
     barycentric = aux.barycentric  # [H, W, 3]
     clip_w = aux.clip_w            # [H, W]
     covered = indices[..., 0] >= 0
 
     # -- Colour gradients (pre-dilation), rasterise_grad_egl.cu:134-148 --
-    color_contrib = (grad_pixels[..., None, :]
-                     * barycentric[..., :, None])     # [H, W, 3, C]
-    color_contrib = jnp.where(covered[..., None, None], color_contrib, 0.0)
-    color_targets = jnp.where(covered[..., None], indices, 0)
-    grad_vertex_colors = jax.ops.segment_sum(
-        color_contrib.reshape(-1, channels),
-        color_targets.reshape(-1),
-        num_segments=num_vertices)
+    if parts in ("all", "color"):
+        color_contrib = (grad_pixels[..., None, :]
+                         * barycentric[..., :, None])     # [H, W, 3, C]
+        color_contrib = jnp.where(covered[..., None, None], color_contrib,
+                                  0.0)
+        color_targets = jnp.where(covered[..., None], indices, 0)
+        grad_vertex_colors = jax.ops.segment_sum(
+            color_contrib.reshape(-1, channels),
+            color_targets.reshape(-1),
+            num_segments=num_vertices)
+    else:
+        grad_vertex_colors = jnp.zeros((num_vertices, channels), jnp.float32)
 
     grad_background = jnp.where(covered[..., None], 0.0, grad_pixels)
+
+    if parts == "color":
+        return RasteriseGrads(
+            grad_background,
+            jnp.zeros((num_vertices, 4), jnp.float32),
+            grad_vertex_colors,
+            debug_image(jnp.zeros((h, w), bool), grad_pixels))
+
+    scharr_x, scharr_y = scharr_filters(pixels)
 
     # -- Occluder dilation, rasterise_grad_egl.cu:153-194 --
     indices_d, bary_d, clip_w_d, dilated = _dilate(
@@ -334,8 +353,15 @@ def rasterise_grad_single(vertices, faces, pixels, grad_pixels, aux):
 
 
 def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
-                         implementation=None):
+                         implementation=None, parts="all"):
     """Batched gradient assembly ([B, ...] on every argument).
+
+    `parts` ("all" / "position" / "color") selects which gradient rows are
+    computed (see rasterise_grad_single); the deferred path's two calls
+    each request only the half they consume, skipping ~half the per-visit
+    reductions (and, for "color", the whole Scharr + dilation pre-pass).
+    Computed rows are bitwise-equal to the matching parts="all" outputs;
+    skipped outputs are zeros.
 
     `implementation`: "dense" (chunk-dense VPU-reduction kernel,
     ops/grad_dense.py), "blocks" (block-binned dense kernel for large
@@ -377,19 +403,29 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
         raise ValueError(
             f"unknown gradient implementation {implementation!r}; expected "
             "'dense', 'mxu', 'blocks', 'xla', 'pallas' or None/'auto'")
+    if parts not in ("all", "position", "color"):
+        raise ValueError(
+            f"unknown parts {parts!r}; expected 'all', 'position' or 'color'")
     if implementation == "dense":
         from . import grad_dense
         return grad_dense.rasterise_grad_batch(
-            vertices, faces, pixels, grad_pixels, aux)
+            vertices, faces, pixels, grad_pixels, aux, parts=parts)
     if implementation == "mxu":
         from . import grad_mxu
-        return grad_mxu.rasterise_grad_batch(
+        grads = grad_mxu.rasterise_grad_batch(
             vertices, faces, pixels, grad_pixels, aux)
+        if parts == "position":     # reference-only kernel: compute-and-mask
+            grads = grads._replace(
+                grad_vertex_colors=jnp.zeros_like(grads.grad_vertex_colors))
+        elif parts == "color":
+            grads = grads._replace(
+                grad_vertices=jnp.zeros_like(grads.grad_vertices))
+        return grads
     if implementation == "blocks":
         from . import grad_blocks
         return grad_blocks.rasterise_grad_batch(
-            vertices, faces, pixels, grad_pixels, aux)
-    return jax.vmap(rasterise_grad_single)(
+            vertices, faces, pixels, grad_pixels, aux, parts=parts)
+    return jax.vmap(functools.partial(rasterise_grad_single, parts=parts))(
         vertices, faces, pixels, grad_pixels, aux)
 
 
@@ -413,7 +449,8 @@ def _auto_grad_kernel(num_faces, image_hw):
     return "blocks"
 
 
-def rasterise_grad_grouped(vertices, faces, pixels, grad_pixels, aux):
+def rasterise_grad_grouped(vertices, faces, pixels, grad_pixels, aux,
+                           parts="all"):
     """Channel-grouped gradient assembly, matching reference semantics.
 
     The reference native op only handles 1 or 3 channels; wider images are
@@ -423,11 +460,17 @@ def rasterise_grad_grouped(vertices, faces, pixels, grad_pixels, aux):
     grouping changes the gradient values; we replicate the grouping exactly
     for parity.  All arguments are batched [B, ...].
 
+    `parts` propagates to every per-group call (see rasterise_grad_batch);
+    grouping itself is parts-agnostic because both the per-group position
+    sums and the per-group colour concatenation act on the group's own
+    rows.
+
     Returns (grad_background, grad_vertices, grad_vertex_colors).
     """
     channels = pixels.shape[-1]
     if channels in (1, 3):
-        grads = rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux)
+        grads = rasterise_grad_batch(vertices, faces, pixels, grad_pixels,
+                                     aux, parts=parts)
         return grads.grad_background, grads.grad_vertices, grads.grad_vertex_colors
 
     grad_backgrounds = []
@@ -438,7 +481,8 @@ def rasterise_grad_grouped(vertices, faces, pixels, grad_pixels, aux):
         end = begin + 3 if begin + 3 <= channels else begin + 1
         grads = rasterise_grad_batch(
             vertices, faces,
-            pixels[..., begin:end], grad_pixels[..., begin:end], aux)
+            pixels[..., begin:end], grad_pixels[..., begin:end], aux,
+            parts=parts)
         grad_backgrounds.append(grads.grad_background)
         grad_vertex_colors.append(grads.grad_vertex_colors)
         grad_vertices = (grads.grad_vertices if grad_vertices is None

@@ -118,10 +118,10 @@ def _cdiv(a, b):
 
 
 def _grad_kernel(run_ref, item_ref, dma_ref, face_ref, planes_ref,
-                 zeros_ref, out_ref, *, channels):
+                 zeros_ref, out_ref, *, channels, parts):
     del dma_ref    # consumed by the planes BlockSpec's index_map
     del zeros_ref  # aliased to out_ref: overflow-safe zero init
-    d_out = 9 + 3 * channels
+    d_out = grad_dense.d_out_for(parts, channels)
     s = pl.program_id(0)
     run = run_ref[s]
     prev_run = run_ref[jnp.maximum(s - 1, 0)]
@@ -141,19 +141,19 @@ def _grad_kernel(run_ref, item_ref, dma_ref, face_ref, planes_ref,
 
         # Shared reduction math (ops/grad_dense.chunk_sums) keeps this
         # backend's arithmetic identical to the dense kernels'.
-        out_ref[0] += grad_dense.chunk_sums(col, plane, channels)
+        out_ref[0] += grad_dense.chunk_sums(col, plane, channels, parts)
 
 
 def _grad_kernel_fused_resident(start_ref, count_ref, tile_ids_ref,
                                 face_ref, planes_ref, out_ref, *,
-                                channels, tiles_per_image):
+                                channels, tiles_per_image, parts):
     """Resident variant of the fused gradient kernel: the image's WHOLE
     tile-major plane stack arrives as one VMEM block (fetched by the
     Pallas pipeline once per image) and each visit reads its tile's
     planes by dynamic index instead of streaming them through a manual
     DMA.  Accumulation order is unchanged (tiles ascending), so the
     output is bit-exact vs the DMA schedule."""
-    d_out = 9 + 3 * channels
+    d_out = grad_dense.d_out_for(parts, channels)
     r = pl.program_id(0)
     start = start_ref[r]
     n = count_ref[r]
@@ -167,14 +167,14 @@ def _grad_kernel_fused_resident(start_ref, count_ref, tile_ids_ref,
         def col(j):
             return face_ref[0, :, j:j + 1]                 # [CHUNK, 1]
 
-        return acc + grad_dense.chunk_sums(col, plane, channels)
+        return acc + grad_dense.chunk_sums(col, plane, channels, parts)
 
     out_ref[0] = jax.lax.fori_loop(
         0, n, body, jnp.zeros((CHUNK, d_out), jnp.float32))
 
 
 def _grad_kernel_fused(start_ref, count_ref, tile_ids_ref, *rest,
-                       channels, depth):
+                       channels, depth, parts):
     """One grid step per (batch, face block): accumulate the block's
     [CHUNK, d_out] sums over its live tile visits, streaming the
     [n_planes, pix] plane tiles HBM->VMEM through a `depth`-slot rotating
@@ -182,7 +182,7 @@ def _grad_kernel_fused(start_ref, count_ref, tile_ids_ref, *rest,
     Accumulation order matches the slot kernel's (tiles ascending), so
     the two schedules agree bit-for-bit."""
     face_ref, planes_hbm, out_ref, scratch, sem = rest
-    d_out = 9 + 3 * channels
+    d_out = grad_dense.d_out_for(parts, channels)
     r = pl.program_id(0)
     start = start_ref[r]
     n = count_ref[r]
@@ -213,16 +213,30 @@ def _grad_kernel_fused(start_ref, count_ref, tile_ids_ref, *rest,
         def col(j):
             return face_ref[0, :, j:j + 1]                 # [CHUNK, 1]
 
-        return acc + grad_dense.chunk_sums(col, plane, channels)
+        return acc + grad_dense.chunk_sums(col, plane, channels, parts)
 
     out_ref[0] = jax.lax.fori_loop(
         0, n, body, jnp.zeros((CHUNK, d_out), jnp.float32))
 
 
 def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
-                         interpret=None):
+                         interpret=None, parts="all"):
     """Block-binned face-major gradient assembly; contract and semantics
-    identical to backward.rasterise_grad_batch (all arguments [B, ...])."""
+    identical to backward.rasterise_grad_batch (all arguments [B, ...]).
+
+    `parts` ("all" / "position" / "color") selects which gradient rows
+    the visit reductions compute (grad_dense.chunk_sums); the deferred
+    path uses "position" for its shaded-pixels call and "color" for its
+    G-buffer-cotangent call, each of which discards the other half.  The
+    computed rows are bitwise-equal to the matching parts="all" outputs
+    when both resolve to the same pre-pass implementation (the usual
+    case; the 8-plane position stack lowers the fused pre-pass VMEM
+    bound, so just past the residency boundary "position" may stay fused
+    where "all" falls back to XLA -- values then agree to the documented
+    pre-pass parity ~2e-7).  Uncomputed outputs return zeros.  "color"
+    skips the Scharr + dilation pre-pass entirely (colour grads read
+    pre-dilation coverage) and both subsets carry a commensurately
+    smaller plane stack (grad_dense.plane_layout)."""
     if interpret is None:
         from . import dispatch
         interpret = not dispatch.on_accelerator()
@@ -255,34 +269,28 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
     num_slots = forward_blocks.slots_per_image(num_blocks, num_tiles)
     hp, wp = tiles_y * tile_h, tiles_x * TILE_W
     pix = tile_h * TILE_W
-    n_planes = 12 + channels
-    d_out = 9 + 3 * channels
+    n_planes = grad_dense.plane_layout(parts, channels)[0]
+    d_out = grad_dense.d_out_for(parts, channels)
     np_dma = _cdiv(n_planes, 8) * 8
 
     # backward.DIAGONAL forces the XLA pre-pass: the fused Pallas pre-pass
-    # implements the reference's two-attempt axial dilation only.
-    fused_pre = (FUSED and PREPASS and not backward.DIAGONAL
+    # implements the reference's two-attempt axial dilation only.  The
+    # "position" subset keeps the fused pre-pass (emitting its 8-plane
+    # stack -- same Scharr/dilation expressions, so bitwise vs "all");
+    # "color" needs no pre-pass at all and builds its stack directly.
+    fused_pre = (FUSED and PREPASS and parts in ("all", "position")
+                 and not backward.DIAGONAL
                  and prepass_fused.supported(
                      height, width, channels, tile_h, TILE_W, np_dma))
     if fused_pre:
         planes, dilated = prepass_fused.plane_stack(
             pixels, grad_pixels, aux, tile_h, TILE_W, np_dma,
-            interpret=interpret)
+            interpret=interpret, parts=parts)
         covered_pre = aux.indices[..., 0] >= 0
         grad_background = jnp.where(covered_pre[..., None], 0.0, grad_pixels)
     else:
-        pre = backward.grad_prepass(pixels, grad_pixels, aux)
-        grad_background, dilated = pre.grad_background, pre.dilated
-
-        f32 = lambda a: a.astype(jnp.float32)
-        planes = jnp.concatenate([
-            jnp.stack([pre.ax, pre.ay, pre.px_t, pre.py_t], axis=1),
-            jnp.moveaxis(pre.bary_d, -1, 1),
-            f32(pre.face_d)[:, None],
-            jnp.moveaxis(pre.bary_pre, -1, 1),
-            f32(pre.face_pre)[:, None],
-            jnp.moveaxis(grad_pixels, -1, 1),
-        ], axis=1)                                    # [B, NP, H, W]
+        planes, grad_background, dilated = grad_dense.prepass_and_planes(
+            pixels, grad_pixels, aux, parts)          # [B, NP, H, W]
         planes = jnp.pad(planes, ((0, 0), (0, 0), (0, hp - height),
                                   (0, wp - width)))
         planes = planes.reshape(
@@ -350,7 +358,7 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
         if resident:
             kernel = functools.partial(
                 _grad_kernel_fused_resident, channels=channels,
-                tiles_per_image=num_tiles)
+                tiles_per_image=num_tiles, parts=parts)
             scratch_shapes = []
             in_specs = [
                 face_spec,
@@ -365,7 +373,8 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
         else:
             depth = depth_for()
             kernel = functools.partial(
-                _grad_kernel_fused, channels=channels, depth=depth)
+                _grad_kernel_fused, channels=channels, depth=depth,
+                parts=parts)
             in_specs = [
                 face_spec,
                 # Plane tiles stay in HBM; the kernel streams the block's
@@ -401,7 +410,8 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
         slot_item = csr_b.reshape(-1)                          # active flag
         slot_dma = (csr_c + num_tiles * boff).reshape(-1)      # planes DMA
 
-        kernel = functools.partial(_grad_kernel, channels=channels)
+        kernel = functools.partial(_grad_kernel, channels=channels,
+                                   parts=parts)
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,      # slot_run, slot_item, slot_dma [B*S]
@@ -443,7 +453,7 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
     # padded tail rows are zero (their face slots have empty bboxes, so no
     # tile lists them) and scatter harmlessly into vertex 0.
     face_grads = face_grads.reshape(
-        batch, num_blocks * CHUNK, 3, 3 + channels)
+        batch, num_blocks * CHUNK, 3, d_out // 3)
     pad_faces = num_blocks * CHUNK - num_faces
     faces_padded = jnp.pad(faces, ((0, 0), (0, pad_faces), (0, 0)))
     if forward_blocks.SPATIAL:
@@ -452,16 +462,8 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
     batch_offsets = (jnp.arange(batch, dtype=jnp.int32)
                      * num_vertices)[:, None, None]
     seg = (faces_padded + batch_offsets).reshape(-1)
-    rows = face_grads.reshape(-1, 3 + channels)
-    summed = jax.ops.segment_sum(rows, seg,
-                                 num_segments=batch * num_vertices)
-    summed = summed.reshape(batch, num_vertices, 3 + channels)
-
-    grad_vertices = jnp.stack([
-        summed[..., 0], summed[..., 1],
-        jnp.zeros_like(summed[..., 0]), summed[..., 2],
-    ], axis=-1)
-    grad_vertex_colors = summed[..., 3:]
+    grad_vertices, grad_vertex_colors = grad_dense.scatter_face_grads(
+        face_grads, seg, batch, num_vertices, channels, parts)
     debug = backward.debug_image(dilated, grad_pixels)
     return backward.RasteriseGrads(
         grad_background, grad_vertices, grad_vertex_colors, debug)

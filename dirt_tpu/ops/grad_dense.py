@@ -64,17 +64,52 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
-def chunk_sums(col, plane, channels):
+def plane_layout(parts, channels):
+    """Plane-stack layout for a `parts` selection (see chunk_sums).
+
+    Returns (n_planes, names) where names maps logical plane name ->
+    index.  The position-only and color-only stacks carry ONLY the planes
+    their reductions read, shrinking both the HBM stack and the per-visit
+    plane-tile DMA:
+        all:      ax ay Px Py bary_d0-2 face_d bary_pre0-2 face_pre grad..
+        position: ax ay Px Py bary_d0-2 face_d                (8 planes)
+        color:    bary_pre0-2 face_pre grad..                 (4+C planes)
+    """
+    if parts == "position":
+        return 8, dict(ax=0, ay=1, px=2, py=3, bary_d=4, face_d=7)
+    if parts == "color":
+        return 4 + channels, dict(bary_pre=0, face_pre=3, grad=4)
+    return 12 + channels, dict(ax=0, ay=1, px=2, py=3, bary_d=4, face_d=7,
+                               bary_pre=8, face_pre=11, grad=12)
+
+
+def d_out_for(parts, channels):
+    """Per-corner output width: 3 position rows (gx, gy, gw) and/or
+    `channels` colour rows, laid out [CHUNK, 3, d_corner]."""
+    if parts == "position":
+        return 9
+    if parts == "color":
+        return 3 * channels
+    return 9 + 3 * channels
+
+
+def chunk_sums(col, plane, channels, parts="all"):
     """Masked per-face pixel reductions for one chunk: [K, d_out].
 
     `col(i)` returns gradient-face-table column i as [K, 1]
     (ops/grad_tables.py layout); `plane(i)` returns per-pixel plane i as
-    [1, PIX] or [K', PIX] broadcastable rows.  Plane order (see
-    rasterise_grad_batch):
-        0 ax, 1 ay, 2 Px, 3 Py, 4-6 bary_d, 7 face_d,
-        8-10 bary_pre, 11 face_pre, 12.. grad_pixels channels
-    Shared by the chunk-grid, fused and block-binned gradient kernels so
-    the reduction arithmetic cannot drift between them.
+    [1, PIX] or [K', PIX] broadcastable rows, laid out per
+    `plane_layout(parts, channels)`.  Shared by the chunk-grid, fused and
+    block-binned gradient kernels so the reduction arithmetic cannot
+    drift between them.
+
+    `parts` selects which reduction rows to compute: "all" (direct path),
+    "position" (gx/gy/gw only -- the deferred path's shaded-pixels call
+    discards colour grads) or "color" (colour rows only -- the deferred
+    G-buffer-cotangent call discards vertex grads).  Each selection is
+    the identical expression subtree of the full form (reductions are
+    independent), so the computed rows are BITWISE-equal to the
+    corresponding slices of parts="all".
 
     With DIRT_TPU_GRAD_SLAB=S (S >= 1 dividing the chunk), the chunk's
     face rows are processed in S-row slabs and the [S, d_out] results
@@ -93,41 +128,51 @@ def chunk_sums(col, plane, channels):
         for s0 in range(0, k, s):
             def scol(i, s0=s0):
                 return col(i)[s0:s0 + s]
-            outs.append(_chunk_sums(scol, plane, channels))
+            outs.append(_chunk_sums(scol, plane, channels, parts))
         return jnp.concatenate(outs, axis=0)
-    return _chunk_sums(col, plane, channels)
+    return _chunk_sums(col, plane, channels, parts)
 
 
-def _chunk_sums(col, plane, channels):
+def _chunk_sums(col, plane, channels, parts="all"):
+    _, L = plane_layout(parts, channels)
     fid = col(4)                                       # original index
-    mask_d = plane(7) == fid                           # [CHUNK, PIX]
-    mask_pre = plane(11) == fid
-
-    # Face-dependent fragment clip x, y and the viewport w-term.
-    cx = (plane(4) * col(6) + plane(5) * col(7)) + plane(6) * col(8)
-    cy = (plane(4) * col(9) + plane(5) * col(10)) + plane(6) * col(11)
-    p = plane(2) * cx + plane(3) * cy
+    want_pos = parts in ("all", "position")
+    want_col = parts in ("all", "color")
+    if want_pos:
+        mask_d = plane(L["face_d"]) == fid             # [CHUNK, PIX]
+        # Face-dependent fragment clip x, y and the viewport w-term.
+        bd = L["bary_d"]
+        cx = ((plane(bd) * col(6) + plane(bd + 1) * col(7))
+              + plane(bd + 2) * col(8))
+        cy = ((plane(bd) * col(9) + plane(bd + 1) * col(10))
+              + plane(bd + 2) * col(11))
+        p = plane(L["px"]) * cx + plane(L["py"]) * cy
+    if want_col:
+        mask_pre = plane(L["face_pre"]) == fid
 
     def rsum(a):                                       # [CHUNK, 1]
         return jnp.sum(a, axis=1, keepdims=True)
 
     sums = []
     for k in range(3):
-        wd = jnp.where(mask_d, plane(4 + k), 0.0)
-        sums.append(rsum(wd * plane(0)))               # gx_k
-        sums.append(rsum(wd * plane(1)))               # gy_k
-        sums.append(-rsum(wd * p))                     # gw_k
-        wp = jnp.where(mask_pre, plane(8 + k), 0.0)
-        for c in range(channels):
-            sums.append(rsum(wp * plane(12 + c)))      # gcolor_kc
+        if want_pos:
+            wd = jnp.where(mask_d, plane(L["bary_d"] + k), 0.0)
+            sums.append(rsum(wd * plane(L["ax"])))     # gx_k
+            sums.append(rsum(wd * plane(L["ay"])))     # gy_k
+            sums.append(-rsum(wd * p))                 # gw_k
+        if want_col:
+            wp = jnp.where(mask_pre, plane(L["bary_pre"] + k), 0.0)
+            for c in range(channels):
+                sums.append(rsum(wp * plane(L["grad"] + c)))  # gcolor_kc
     return jnp.concatenate(sums, axis=1)               # [CHUNK, d_out]
 
 
-def _grad_kernel(count_ref, face_ref, planes_ref, out_ref, *, channels):
+def _grad_kernel(count_ref, face_ref, planes_ref, out_ref, *, channels,
+                 parts):
     # grid: (batch, tile, chunk); every (tile, chunk) owns its own output
     # block, so all three grid dimensions are parallel.
     chunk_idx = pl.program_id(2)
-    d_out = 9 + 3 * channels
+    d_out = d_out_for(parts, channels)
     chunk_active = chunk_idx * CHUNK < count_ref[0, 0, 0, 0, 0]
 
     @pl.when(jnp.logical_not(chunk_active))
@@ -142,16 +187,16 @@ def _grad_kernel(count_ref, face_ref, planes_ref, out_ref, *, channels):
         def col(i):
             return face_ref[0, 0, 0, :, i:i + 1]           # [CHUNK, 1]
 
-        out_ref[0, 0, 0] = chunk_sums(col, plane, channels)
+        out_ref[0, 0, 0] = chunk_sums(col, plane, channels, parts)
 
 
 def _grad_kernel_fused(count_ref, face_ref, planes_ref, out_ref, *,
-                       channels, num_chunks):
+                       channels, num_chunks, parts):
     """Fused schedule: grid (batch, tiles); in-kernel loop over chunks with
     the tile's whole gradient face table resident in VMEM (the round-3
     device sweep measured ~2 us fixed cost per grid step; see
     forward_dense)."""
-    d_out = 9 + 3 * channels
+    d_out = d_out_for(parts, channels)
 
     def plane(i):
         return planes_ref[0, 0, i:i + 1, :]                # [1, PIX]
@@ -162,7 +207,7 @@ def _grad_kernel_fused(count_ref, face_ref, planes_ref, out_ref, *,
     def live_body(c, _):
         def col(i):
             return face_ref[0, 0, c, :, i:i + 1]           # [CHUNK, 1]
-        out_ref[0, 0, c] = chunk_sums(col, plane, channels)
+        out_ref[0, 0, c] = chunk_sums(col, plane, channels, parts)
         return 0
 
     def dead_body(c, _):
@@ -173,8 +218,77 @@ def _grad_kernel_fused(count_ref, face_ref, planes_ref, out_ref, *,
     jax.lax.fori_loop(n_live, num_chunks, dead_body, 0)
 
 
+def prepass_and_planes(pixels, grad_pixels, aux, parts):
+    """Runs the XLA pre-pass appropriate for `parts` and assembles the
+    [B, NP, H, W] plane stack per plane_layout.  Returns (planes,
+    grad_background, dilated).
+
+    parts="color" skips the Scharr + dilation pre-pass entirely: colour
+    gradients read PRE-dilation coverage (aux.face_index / barycentric
+    directly, reference rasterise_grad_egl.cu:134-148), so the only
+    pre-pass products needed are the background cotangent mask and the
+    zeroed barycentrics.  Its `dilated` debug marker is all-false (no
+    dilation was computed); the deferred path discards the debug image.
+    """
+    f32 = lambda a: a.astype(jnp.float32)
+    if parts == "color":
+        covered_pre = aux.indices[..., 0] >= 0
+        grad_background = jnp.where(covered_pre[..., None], 0.0, grad_pixels)
+        bary_pre = jnp.where(covered_pre[..., None], aux.barycentric, 0.0)
+        planes = jnp.concatenate([
+            jnp.moveaxis(bary_pre, -1, 1),
+            f32(aux.face_index)[:, None],
+            jnp.moveaxis(grad_pixels, -1, 1),
+        ], axis=1)
+        dilated = jnp.zeros(grad_pixels.shape[:3], bool)
+        return planes, grad_background, dilated
+    pre = backward.grad_prepass(pixels, grad_pixels, aux)
+    if parts == "position":
+        planes = jnp.concatenate([
+            jnp.stack([pre.ax, pre.ay, pre.px_t, pre.py_t], axis=1),
+            jnp.moveaxis(pre.bary_d, -1, 1),
+            f32(pre.face_d)[:, None],
+        ], axis=1)
+    else:
+        planes = jnp.concatenate([
+            jnp.stack([pre.ax, pre.ay, pre.px_t, pre.py_t], axis=1),
+            jnp.moveaxis(pre.bary_d, -1, 1),
+            f32(pre.face_d)[:, None],
+            jnp.moveaxis(pre.bary_pre, -1, 1),
+            f32(pre.face_pre)[:, None],
+            jnp.moveaxis(grad_pixels, -1, 1),
+        ], axis=1)                                    # [B, NP, H, W]
+    return planes, pre.grad_background, pre.dilated
+
+
+def scatter_face_grads(face_grads, seg, batch, num_vertices, channels,
+                       parts):
+    """Segment-sums [*, 3, d_corner] per-corner rows into per-vertex
+    (grad_vertices, grad_vertex_colors), zero-filling the parts not
+    computed."""
+    d_corner = d_out_for(parts, channels) // 3
+    rows = face_grads.reshape(-1, d_corner)
+    summed = jax.ops.segment_sum(rows, seg,
+                                 num_segments=batch * num_vertices)
+    summed = summed.reshape(batch, num_vertices, d_corner)
+    zeros = jnp.zeros((batch, num_vertices), jnp.float32)
+    if parts == "position":
+        grad_vertices = jnp.stack(
+            [summed[..., 0], summed[..., 1], zeros, summed[..., 2]], axis=-1)
+        grad_vertex_colors = jnp.zeros(
+            (batch, num_vertices, channels), jnp.float32)
+    elif parts == "color":
+        grad_vertices = jnp.zeros((batch, num_vertices, 4), jnp.float32)
+        grad_vertex_colors = summed
+    else:
+        grad_vertices = jnp.stack(
+            [summed[..., 0], summed[..., 1], zeros, summed[..., 2]], axis=-1)
+        grad_vertex_colors = summed[..., 3:]
+    return grad_vertices, grad_vertex_colors
+
+
 def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
-                         interpret=None):
+                         interpret=None, parts="all"):
     """Dense Pallas gradient assembly; same contract and semantics as
     backward.rasterise_grad_batch (all arguments [B, ...])."""
     if interpret is None:
@@ -201,8 +315,9 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
             debug=backward.debug_image(
                 jnp.zeros((batch, height, width), bool), grad_pixels))
 
-    # --- elementwise XLA pre-pass (Scharr, dilation, chain-rule factors) ---
-    pre = backward.grad_prepass(pixels, grad_pixels, aux)
+    # --- elementwise XLA pre-pass + parts-specific plane stack ---
+    planes, grad_background, dilated = prepass_and_planes(
+        pixels, grad_pixels, aux, parts)
 
     num_chunks = max(1, _cdiv(
         forward_pallas.tile_face_cap(num_faces), CHUNK))
@@ -211,18 +326,8 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
     num_tiles = tiles_y * tiles_x
     hp, wp = tiles_y * TILE_H, tiles_x * TILE_W
     pix = TILE_H * TILE_W
-    n_planes = 12 + channels
-    d_out = 9 + 3 * channels
-
-    f32 = lambda a: a.astype(jnp.float32)
-    planes = jnp.concatenate([
-        jnp.stack([pre.ax, pre.ay, pre.px_t, pre.py_t], axis=1),
-        jnp.moveaxis(pre.bary_d, -1, 1),
-        f32(pre.face_d)[:, None],
-        jnp.moveaxis(pre.bary_pre, -1, 1),
-        f32(pre.face_pre)[:, None],
-        jnp.moveaxis(grad_pixels, -1, 1),
-    ], axis=1)                                        # [B, NP, H, W]
+    n_planes = plane_layout(parts, channels)[0]
+    d_out = d_out_for(parts, channels)
     # Tile to [B, T, NP, PIX] (one transposing copy; padded pixels keep
     # face ids intact but all value planes zero, so they contribute zeros).
     planes = jnp.pad(planes, ((0, 0), (0, 0), (0, hp - height),
@@ -241,7 +346,7 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
 
     if FUSED:
         kernel = functools.partial(_grad_kernel_fused, channels=channels,
-                                   num_chunks=num_chunks)
+                                   num_chunks=num_chunks, parts=parts)
         face_grads = pl.pallas_call(
             kernel,
             grid=(batch, num_tiles),
@@ -266,7 +371,8 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
             interpret=interpret,
         )(counts, face_data, planes)
     else:
-        kernel = functools.partial(_grad_kernel, channels=channels)
+        kernel = functools.partial(_grad_kernel, channels=channels,
+                                   parts=parts)
         face_grads = pl.pallas_call(
             kernel,
             grid=(batch, num_tiles, num_chunks),
@@ -295,22 +401,14 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
 
     # --- tiny face-corner -> vertex scatter (face-count sized) ---
     face_grads = face_grads.reshape(
-        batch, num_tiles * num_chunks * CHUNK, 3, 3 + channels)
+        batch, num_tiles * num_chunks * CHUNK, 3, d_out // 3)
     corner_vids = jnp.take_along_axis(
         faces, sorted_orig.reshape(batch, -1)[..., None], axis=1)
     batch_offsets = (jnp.arange(batch, dtype=jnp.int32)
                      * num_vertices)[:, None, None]
     seg = (corner_vids + batch_offsets).reshape(-1)
-    rows = face_grads.reshape(-1, 3 + channels)
-    summed = jax.ops.segment_sum(rows, seg,
-                                 num_segments=batch * num_vertices)
-    summed = summed.reshape(batch, num_vertices, 3 + channels)
-
-    grad_vertices = jnp.stack([
-        summed[..., 0], summed[..., 1],
-        jnp.zeros_like(summed[..., 0]), summed[..., 2],
-    ], axis=-1)
-    grad_vertex_colors = summed[..., 3:]
-    debug = backward.debug_image(pre.dilated, grad_pixels)
+    grad_vertices, grad_vertex_colors = scatter_face_grads(
+        face_grads, seg, batch, num_vertices, channels, parts)
+    debug = backward.debug_image(dilated, grad_pixels)
     return backward.RasteriseGrads(
-        pre.grad_background, grad_vertices, grad_vertex_colors, debug)
+        grad_background, grad_vertices, grad_vertex_colors, debug)

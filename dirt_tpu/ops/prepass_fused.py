@@ -69,7 +69,8 @@ def _shift_fill(x, ox, oy, fill):
 
 def _prepass_kernel(px_ref, gp_ref, bary_ref, idx_ref, w_ref, face_ref,
                     planes_ref, dilated_ref,
-                    *, height, width, channels, tile_h, tile_w, np_dma):
+                    *, height, width, channels, tile_h, tile_w, np_dma,
+                    parts="all"):
     """One grid step per image; all planes [H, W] f32/i32 in VMEM."""
     half_w, half_h = 0.5 * width, 0.5 * height
 
@@ -149,10 +150,16 @@ def _prepass_kernel(px_ref, gp_ref, bary_ref, idx_ref, w_ref, face_ref,
 
     covered_pre = face >= 0
     f32 = lambda a: a.astype(jnp.float32)
-    planes = [ax, ay, px_t, py_t, *[f32(b) for b in bary_d], f32(face_d),
-              *[jnp.where(covered_pre, b, 0.0) for b in bary],
-              f32(face)]
-    planes += [gp_ref[0, c] for c in range(channels)]
+    # Plane order per grad_dense.plane_layout(parts, channels); "position"
+    # drops the pre-dilation + cotangent planes its reductions never read
+    # (the position values ax/ay/px_t/py_t/bary_d/face_d are the SAME
+    # expressions either way, so the subset stack is bitwise-equal to the
+    # corresponding slice of the full stack).
+    planes = [ax, ay, px_t, py_t, *[f32(b) for b in bary_d], f32(face_d)]
+    if parts == "all":
+        planes += [*[jnp.where(covered_pre, b, 0.0) for b in bary],
+                   f32(face)]
+        planes += [gp_ref[0, c] for c in range(channels)]
     planes += [zero] * (np_dma - len(planes))
 
     # --- Tile-major stack write: each [tile_h, tile_w] slice is one store.
@@ -175,12 +182,14 @@ def supported(height, width, channels, tile_h, tile_w, np_dma):
 
 
 def plane_stack(pixels, grad_pixels, aux, tile_h, tile_w, np_dma,
-                interpret=False):
+                interpret=False, parts="all"):
     """Fused pre-pass for a batch.
 
     Args are the batched gradient inputs ([B, H, W, C] pixels/grad_pixels,
     RasterAux).  Returns (planes [B*T, np_dma, tile_h*tile_w] f32 in
-    ops/grad_dense.chunk_sums order, dilated [B, H, W] bool).
+    ops/grad_dense.plane_layout(parts) order, dilated [B, H, W] bool).
+    `parts` may be "all" or "position" (the "color" subset needs no
+    pre-pass at all -- see grad_dense.prepass_and_planes).
     """
     batch, height, width, channels = pixels.shape
     tiles_y, tiles_x = height // tile_h, width // tile_w
@@ -193,7 +202,7 @@ def plane_stack(pixels, grad_pixels, aux, tile_h, tile_w, np_dma,
 
     kernel = functools.partial(
         _prepass_kernel, height=height, width=width, channels=channels,
-        tile_h=tile_h, tile_w=tile_w, np_dma=np_dma)
+        tile_h=tile_h, tile_w=tile_w, np_dma=np_dma, parts=parts)
     img = lambda *trail: pl.BlockSpec(
         (1,) + trail, lambda b: (b,) + (0,) * len(trail),
         memory_space=pltpu.VMEM)

@@ -218,19 +218,22 @@ def _deferred_bwd(shader_fn, backend, residuals, grad_pixels):
 
     # Vertex gradients come from filtering the *shaded* image: these are the
     # final, correct boundary gradients (dirt/rasterise_ops.py:204-210).
+    # parts="position" skips the colour reductions this call discards
+    # (round-5; the computed rows are bitwise-equal to parts="all").
     _, grad_vertices, _ = _backward.rasterise_grad_grouped(
-        vertices, faces, pixels, grad_pixels, aux)
+        vertices, faces, pixels, grad_pixels, aux, parts="position")
 
     # Attribute/background gradients flow through the shader first, then
     # through the rasteriser's interior gradients
     # (dirt/rasterise_ops.py:212-237); the vertex gradients of this second
-    # call are discarded.
+    # call are discarded -- parts="color" skips them AND the Scharr +
+    # dilation pre-pass (colour grads read pre-dilation coverage).
     _, shader_vjp = jax.vjp(
         lambda gb, si: shader_fn(gb, *si), gbuffer, shader_inputs)
     grad_gbuffer, grad_shader_inputs = shader_vjp(grad_pixels)
 
     grad_background, _, grad_attributes = _backward.rasterise_grad_grouped(
-        vertices, faces, gbuffer, grad_gbuffer, aux)
+        vertices, faces, gbuffer, grad_gbuffer, aux, parts="color")
 
     return (grad_background, grad_vertices, grad_attributes,
             _int_cotangent(faces), grad_shader_inputs)

@@ -6,6 +6,7 @@ contractions vs scatter-add), so comparisons use a tight relative tolerance.
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -134,3 +135,79 @@ def test_blocks_grads_match_xla(monkeypatch):
         b = np.asarray(getattr(g_blk, name))
         scale = max(np.abs(a).max(), 1.0)
         np.testing.assert_allclose(a / scale, b / scale, atol=1e-5)
+
+
+@pytest.mark.parametrize("impl", ["xla", "dense", "blocks", "mxu"])
+def test_parts_subsets_match_full(impl):
+    # Round-5 deferred-path optimisation: parts="position"/"color" compute
+    # the identical expression subtrees of parts="all" (reductions are
+    # independent), so computed rows are BITWISE-equal and skipped rows
+    # are zeros.  The deferred backward relies on this
+    # (rasterise_ops._deferred_bwd passes parts to each of its two calls).
+    rng = np.random.RandomState(17)
+    nv, nf, h, w, batch = 64, 96, 48, 128, 2
+    v = rng.randn(batch, nv, 4).astype(np.float32)
+    v[..., 3] = np.abs(v[..., 3]) + 0.5
+    f = rng.randint(0, nv, size=(batch, nf, 3)).astype(np.int32)
+    c = rng.uniform(size=(batch, nv, 3)).astype(np.float32)
+    bg = rng.uniform(size=(batch, h, w, 3)).astype(np.float32)
+    pixels, aux = dispatch.forward_batch(bg, v, c, f, "dense")
+    gp = jnp.asarray(rng.randn(*np.asarray(pixels).shape), jnp.float32)
+
+    g_all = backward.rasterise_grad_batch(v, f, pixels, gp, aux,
+                                          implementation=impl)
+    g_pos = backward.rasterise_grad_batch(v, f, pixels, gp, aux,
+                                          implementation=impl,
+                                          parts="position")
+    g_col = backward.rasterise_grad_batch(v, f, pixels, gp, aux,
+                                          implementation=impl, parts="color")
+    np.testing.assert_array_equal(np.asarray(g_pos.grad_vertices),
+                                  np.asarray(g_all.grad_vertices))
+    assert not np.asarray(g_pos.grad_vertex_colors).any()
+    np.testing.assert_array_equal(np.asarray(g_col.grad_vertex_colors),
+                                  np.asarray(g_all.grad_vertex_colors))
+    np.testing.assert_array_equal(np.asarray(g_col.grad_background),
+                                  np.asarray(g_all.grad_background))
+    assert not np.asarray(g_col.grad_vertices).any()
+    with pytest.raises(ValueError, match="unknown parts"):
+        backward.rasterise_grad_batch(v, f, pixels, gp, aux,
+                                      implementation=impl, parts="bogus")
+
+
+def test_deferred_backward_matches_two_full_calls():
+    # The parts-optimised deferred backward must produce exactly the
+    # gradients of the two-full-call formulation it replaced.
+    import dirt_tpu
+    rng = np.random.RandomState(3)
+    v = rng.randn(16, 4).astype(np.float32)
+    v[..., 3] = np.abs(v[..., 3]) + 0.5
+    f = rng.randint(0, 16, size=(10, 3)).astype(np.int32)
+    attrs = rng.uniform(size=(16, 4)).astype(np.float32)
+    bg = rng.uniform(size=(24, 128, 4)).astype(np.float32)
+    light = jnp.asarray([0.8, 0.6, 0.4, 0.2])
+    shader = lambda gb: jnp.tanh(gb * light)
+
+    def loss(vv, aa):
+        return jnp.sum(dirt_tpu.rasterise_deferred(
+            bg, vv, aa, f, shader_fn=shader) ** 2)
+
+    gv, ga = jax.grad(loss, argnums=(0, 1))(jnp.asarray(v),
+                                            jnp.asarray(attrs))
+
+    # Reference formulation: two parts="all" calls, discarding halves.
+    from dirt_tpu.ops import dispatch as _dispatch
+    gbuffer, aux = _dispatch.forward_batch(
+        bg[None], jnp.asarray(v)[None], jnp.asarray(attrs)[None],
+        jnp.asarray(f)[None])
+    pixels = shader(gbuffer[0])[None]
+    grad_pixels = (2 * pixels)
+    _, ref_gv, _ = backward.rasterise_grad_grouped(
+        jnp.asarray(v)[None], jnp.asarray(f)[None], pixels, grad_pixels,
+        aux, parts="all")
+    _, shader_vjp = jax.vjp(lambda gb: shader(gb), gbuffer)
+    (grad_gbuffer,) = shader_vjp(grad_pixels)
+    _, _, ref_ga = backward.rasterise_grad_grouped(
+        jnp.asarray(v)[None], jnp.asarray(f)[None], gbuffer, grad_gbuffer,
+        aux, parts="all")
+    np.testing.assert_array_equal(np.asarray(gv), np.asarray(ref_gv[0]))
+    np.testing.assert_array_equal(np.asarray(ga), np.asarray(ref_ga[0]))
