@@ -253,7 +253,7 @@ def grad_prepass(pixels, grad_pixels, aux):
 
 
 def rasterise_grad_single(vertices, faces, pixels, grad_pixels, aux,
-                          parts="all"):
+                          parts="all", color_cotangent=None):
     """Gradient assembly for one image.
 
     Args:
@@ -271,6 +271,13 @@ def rasterise_grad_single(vertices, faces, pixels, grad_pixels, aux,
             read pre-dilation coverage).  Skipped outputs return zeros;
             computed outputs are bitwise-equal to parts="all" (the two
             gradient groups are independent computations).
+        color_cotangent: optional [H, W, C'] -- the fused-deferred form
+            (parts="all" only): colour gradients and the background
+            gradient read this cotangent (the shader-chained G-buffer
+            cotangent) while position gradients keep Scharr-filtering
+            `pixels` against `grad_pixels`, so one call computes both
+            halves of the deferred backward.  Each half is the identical
+            expression of the corresponding single-cotangent call.
 
     Returns:
         RasteriseGrads.
@@ -282,6 +289,12 @@ def rasterise_grad_single(vertices, faces, pixels, grad_pixels, aux,
 
     h, w, channels = pixels.shape
     num_vertices = vertices.shape[0]
+    if color_cotangent is None:
+        color_cot = grad_pixels
+    else:
+        assert parts == "all"
+        color_cot = jnp.asarray(color_cotangent, jnp.float32)
+    color_channels = color_cot.shape[-1]
 
     indices = aux.indices          # [H, W, 3]
     barycentric = aux.barycentric  # [H, W, 3]
@@ -290,19 +303,20 @@ def rasterise_grad_single(vertices, faces, pixels, grad_pixels, aux,
 
     # -- Colour gradients (pre-dilation), rasterise_grad_egl.cu:134-148 --
     if parts in ("all", "color"):
-        color_contrib = (grad_pixels[..., None, :]
-                         * barycentric[..., :, None])     # [H, W, 3, C]
+        color_contrib = (color_cot[..., None, :]
+                         * barycentric[..., :, None])     # [H, W, 3, C']
         color_contrib = jnp.where(covered[..., None, None], color_contrib,
                                   0.0)
         color_targets = jnp.where(covered[..., None], indices, 0)
         grad_vertex_colors = jax.ops.segment_sum(
-            color_contrib.reshape(-1, channels),
+            color_contrib.reshape(-1, color_channels),
             color_targets.reshape(-1),
             num_segments=num_vertices)
     else:
-        grad_vertex_colors = jnp.zeros((num_vertices, channels), jnp.float32)
+        grad_vertex_colors = jnp.zeros((num_vertices, color_channels),
+                                       jnp.float32)
 
-    grad_background = jnp.where(covered[..., None], 0.0, grad_pixels)
+    grad_background = jnp.where(covered[..., None], 0.0, color_cot)
 
     if parts == "color":
         return RasteriseGrads(
@@ -353,7 +367,8 @@ def rasterise_grad_single(vertices, faces, pixels, grad_pixels, aux,
 
 
 def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
-                         implementation=None, parts="all"):
+                         implementation=None, parts="all",
+                         color_cotangent=None):
     """Batched gradient assembly ([B, ...] on every argument).
 
     `parts` ("all" / "position" / "color") selects which gradient rows are
@@ -362,6 +377,13 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
     reductions (and, for "color", the whole Scharr + dilation pre-pass).
     Computed rows are bitwise-equal to the matching parts="all" outputs;
     skipped outputs are zeros.
+
+    `color_cotangent` ([B, H, W, C'], parts="all" only) is the
+    fused-deferred form (see rasterise_grad_single): colour/background
+    gradients read it, position gradients read pixels/grad_pixels -- one
+    kernel sweep computes both halves of the deferred backward.  Not
+    supported by the reference-only "mxu" kernel
+    (rasterise_grad_deferred falls back to two calls there).
 
     `implementation`: "dense" (chunk-dense VPU-reduction kernel,
     ops/grad_dense.py), "blocks" (block-binned dense kernel for large
@@ -376,29 +398,24 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
     real TPUs; the minimised compiler-bug repro is
     repro/mosaic_scalar_smem_accum.py.)
     """
-    import os
     from . import dispatch
     # Coerce before guarding so list/numpy inputs take the same path as
     # arrays; constants folded through the compile relay arrive corrupted
     # (see dispatch.guard_constants).
-    vertices, faces, pixels, grad_pixels, aux = dispatch.guard_constants(
+    (vertices, faces, pixels, grad_pixels, aux,
+     color_cotangent) = dispatch.guard_constants(
         jnp.asarray(vertices, jnp.float32),
         jnp.asarray(faces, jnp.int32),
         jnp.asarray(pixels, jnp.float32),
-        jnp.asarray(grad_pixels, jnp.float32), aux)
-    if implementation is None:
-        implementation = os.environ.get("DIRT_TPU_GRAD_BACKEND", "auto")
-    if implementation == "auto":
-        if dispatch.on_accelerator():
-            implementation = _auto_grad_kernel(faces.shape[1],
-                                               pixels.shape[1:3])
-        else:
-            implementation = "xla"
-    if implementation == "pallas":
-        # The production Pallas choice, regardless of platform (the debug
-        # surface must show what the deployed kernel does; rasterise_ops.
-        # rasterise_grad_debug documents this name).
-        implementation = _auto_grad_kernel(faces.shape[1], pixels.shape[1:3])
+        jnp.asarray(grad_pixels, jnp.float32), aux,
+        None if color_cotangent is None
+        else jnp.asarray(color_cotangent, jnp.float32))
+    if color_cotangent is not None and parts != "all":
+        raise ValueError(
+            "color_cotangent requires parts='all' (it IS the fused "
+            "position+color form)")
+    implementation = _resolve_implementation(
+        implementation, faces.shape[1], pixels.shape[1:3])
     if implementation not in ("dense", "mxu", "blocks", "xla"):
         raise ValueError(
             f"unknown gradient implementation {implementation!r}; expected "
@@ -409,9 +426,15 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
     if implementation == "dense":
         from . import grad_dense
         return grad_dense.rasterise_grad_batch(
-            vertices, faces, pixels, grad_pixels, aux, parts=parts)
+            vertices, faces, pixels, grad_pixels, aux, parts=parts,
+            color_cotangent=color_cotangent)
     if implementation == "mxu":
         from . import grad_mxu
+        if color_cotangent is not None:
+            raise ValueError(
+                "the reference-only 'mxu' kernel does not support "
+                "color_cotangent; rasterise_grad_deferred falls back to "
+                "two calls for it")
         grads = grad_mxu.rasterise_grad_batch(
             vertices, faces, pixels, grad_pixels, aux)
         if parts == "position":     # reference-only kernel: compute-and-mask
@@ -424,9 +447,32 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
     if implementation == "blocks":
         from . import grad_blocks
         return grad_blocks.rasterise_grad_batch(
-            vertices, faces, pixels, grad_pixels, aux, parts=parts)
-    return jax.vmap(functools.partial(rasterise_grad_single, parts=parts))(
-        vertices, faces, pixels, grad_pixels, aux)
+            vertices, faces, pixels, grad_pixels, aux, parts=parts,
+            color_cotangent=color_cotangent)
+    if color_cotangent is None:
+        return jax.vmap(functools.partial(
+            rasterise_grad_single, parts=parts))(
+            vertices, faces, pixels, grad_pixels, aux)
+    return jax.vmap(lambda v, f, p, gp, a, cc: rasterise_grad_single(
+        v, f, p, gp, a, parts=parts, color_cotangent=cc))(
+        vertices, faces, pixels, grad_pixels, aux, color_cotangent)
+
+
+def _resolve_implementation(implementation, num_faces, image_hw):
+    """None/env/"auto"/"pallas" -> a concrete kernel name.  "pallas" is
+    the production Pallas choice regardless of platform (the debug surface
+    must show what the deployed kernel does; rasterise_ops.
+    rasterise_grad_debug documents this name)."""
+    import os
+    from . import dispatch
+    if implementation is None:
+        implementation = os.environ.get("DIRT_TPU_GRAD_BACKEND", "auto")
+    if implementation == "auto":
+        implementation = (_auto_grad_kernel(num_faces, image_hw)
+                          if dispatch.on_accelerator() else "xla")
+    if implementation == "pallas":
+        implementation = _auto_grad_kernel(num_faces, image_hw)
+    return implementation
 
 
 def _auto_grad_kernel(num_faces, image_hw):
@@ -447,6 +493,91 @@ def _auto_grad_kernel(num_faces, image_hw):
     """
     del num_faces, image_hw
     return "blocks"
+
+
+def _channel_groups(channels):
+    """The reference's 3+1 channel grouping (dirt/rasterise_ops.py:86-108)
+    as (begin, end) slices; [(0, channels)] for the native 1/3 cases."""
+    if channels in (1, 3):
+        return [(0, channels)]
+    groups = []
+    begin = 0
+    while begin < channels:
+        end = begin + 3 if begin + 3 <= channels else begin + 1
+        groups.append((begin, end))
+        begin = end
+    return groups
+
+
+def rasterise_grad_deferred(vertices, faces, pixels, grad_pixels, gbuffer,
+                            grad_gbuffer, aux, implementation=None):
+    """Fused deferred backward: both halves of the deferred gradient in
+    max(shaded groups, G-buffer groups) kernel sweeps instead of their sum.
+
+    The deferred backward needs (a) vertex gradients from Scharr-filtering
+    the *shaded* pixels against the loss cotangent and (b) attribute /
+    background gradients from the shader-chained G-buffer cotangent
+    (dirt/rasterise_ops.py:204-237).  The two-call formulation
+    (parts="position" + parts="color") sweeps the visit schedule twice;
+    but the position planes are channel-independent and the colour
+    reductions only read the cotangent planes, so ONE parts="all"-shaped
+    sweep whose cotangent planes come from `grad_gbuffer`
+    (`color_cotangent` in rasterise_grad_batch) computes both -- sharing
+    the face-table pack, the kernel launch, the per-visit face-id reads
+    and one output scatter.  Channel groups pair up positionally: call i
+    fuses shaded group i with G-buffer group i, and whichever side has
+    more groups finishes with single-part calls.  Every computed row is
+    the identical expression subtree of the two-call path, so the result
+    is BITWISE-equal to it (pinned in tests/test_deferred_fused.py).
+
+    Returns (grad_background, grad_vertices, grad_attributes).
+    """
+    implementation = _resolve_implementation(
+        implementation, faces.shape[1], pixels.shape[1:3])
+    if implementation == "mxu":
+        # Reference-only kernel without a fused form: two-call fallback.
+        _, grad_vertices, _ = rasterise_grad_grouped(
+            vertices, faces, pixels, grad_pixels, aux, parts="position")
+        grad_background, _, grad_attrs = rasterise_grad_grouped(
+            vertices, faces, gbuffer, grad_gbuffer, aux, parts="color")
+        return grad_background, grad_vertices, grad_attrs
+
+    s_groups = _channel_groups(pixels.shape[-1])
+    g_groups = _channel_groups(grad_gbuffer.shape[-1])
+    grad_vertices = None
+    grad_backgrounds = []
+    grad_attrs = []
+    for i in range(max(len(s_groups), len(g_groups))):
+        pos = s_groups[i] if i < len(s_groups) else None
+        col = g_groups[i] if i < len(g_groups) else None
+        if pos is not None and col is not None:
+            g = rasterise_grad_batch(
+                vertices, faces, pixels[..., pos[0]:pos[1]],
+                grad_pixels[..., pos[0]:pos[1]], aux,
+                implementation=implementation, parts="all",
+                color_cotangent=grad_gbuffer[..., col[0]:col[1]])
+            grad_backgrounds.append(g.grad_background)
+            grad_attrs.append(g.grad_vertex_colors)
+        elif pos is not None:
+            g = rasterise_grad_batch(
+                vertices, faces, pixels[..., pos[0]:pos[1]],
+                grad_pixels[..., pos[0]:pos[1]], aux,
+                implementation=implementation, parts="position")
+        else:
+            g = rasterise_grad_batch(
+                vertices, faces, gbuffer[..., col[0]:col[1]],
+                grad_gbuffer[..., col[0]:col[1]], aux,
+                implementation=implementation, parts="color")
+            grad_backgrounds.append(g.grad_background)
+            grad_attrs.append(g.grad_vertex_colors)
+        if pos is not None:
+            grad_vertices = (g.grad_vertices if grad_vertices is None
+                             else grad_vertices + g.grad_vertices)
+    return (jnp.concatenate(grad_backgrounds, axis=-1)
+            if len(grad_backgrounds) > 1 else grad_backgrounds[0],
+            grad_vertices,
+            jnp.concatenate(grad_attrs, axis=-1)
+            if len(grad_attrs) > 1 else grad_attrs[0])
 
 
 def rasterise_grad_grouped(vertices, faces, pixels, grad_pixels, aux,

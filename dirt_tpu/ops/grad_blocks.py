@@ -220,7 +220,7 @@ def _grad_kernel_fused(start_ref, count_ref, tile_ids_ref, *rest,
 
 
 def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
-                         interpret=None, parts="all"):
+                         interpret=None, parts="all", color_cotangent=None):
     """Block-binned face-major gradient assembly; contract and semantics
     identical to backward.rasterise_grad_batch (all arguments [B, ...]).
 
@@ -236,25 +236,37 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
     pre-pass parity ~2e-7).  Uncomputed outputs return zeros.  "color"
     skips the Scharr + dilation pre-pass entirely (colour grads read
     pre-dilation coverage) and both subsets carry a commensurately
-    smaller plane stack (grad_dense.plane_layout)."""
+    smaller plane stack (grad_dense.plane_layout).
+
+    `color_cotangent` (parts="all" only) selects the fused-deferred plane
+    stack (grad_dense.prepass_and_planes): the colour reductions and the
+    background gradient read it instead of `grad_pixels` -- ONE sweep over
+    the visits computes both halves of the deferred backward."""
     if interpret is None:
         from . import dispatch
         interpret = not dispatch.on_accelerator()
 
     from . import dispatch as _dispatch
-    vertices, faces, pixels, grad_pixels, aux = _dispatch.guard_constants(
+    (vertices, faces, pixels, grad_pixels, aux,
+     color_cotangent) = _dispatch.guard_constants(
         jnp.asarray(vertices, jnp.float32),
         jnp.asarray(faces, jnp.int32),
         jnp.asarray(pixels, jnp.float32),
-        jnp.asarray(grad_pixels, jnp.float32), aux)
+        jnp.asarray(grad_pixels, jnp.float32), aux,
+        None if color_cotangent is None
+        else jnp.asarray(color_cotangent, jnp.float32))
 
-    batch, height, width, channels = pixels.shape
+    batch, height, width, _ = pixels.shape
+    scharr_channels = pixels.shape[-1]
+    channels = (scharr_channels if color_cotangent is None
+                else color_cotangent.shape[-1])
     num_vertices = vertices.shape[1]
     num_faces = faces.shape[1]
 
     if num_faces == 0:
+        cot = grad_pixels if color_cotangent is None else color_cotangent
         return backward.RasteriseGrads(
-            grad_background=grad_pixels,
+            grad_background=cot,
             grad_vertices=jnp.zeros((batch, num_vertices, 4), jnp.float32),
             grad_vertex_colors=jnp.zeros(
                 (batch, num_vertices, channels), jnp.float32),
@@ -281,16 +293,21 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
     fused_pre = (FUSED and PREPASS and parts in ("all", "position")
                  and not backward.DIAGONAL
                  and prepass_fused.supported(
-                     height, width, channels, tile_h, TILE_W, np_dma))
+                     height, width, scharr_channels, tile_h, TILE_W, np_dma,
+                     color_channels=(0 if color_cotangent is None
+                                     else channels)))
     if fused_pre:
         planes, dilated = prepass_fused.plane_stack(
             pixels, grad_pixels, aux, tile_h, TILE_W, np_dma,
-            interpret=interpret, parts=parts)
+            interpret=interpret, parts=parts,
+            color_cotangent=color_cotangent)
         covered_pre = aux.indices[..., 0] >= 0
-        grad_background = jnp.where(covered_pre[..., None], 0.0, grad_pixels)
+        cot = grad_pixels if color_cotangent is None else color_cotangent
+        grad_background = jnp.where(covered_pre[..., None], 0.0, cot)
     else:
         planes, grad_background, dilated = grad_dense.prepass_and_planes(
-            pixels, grad_pixels, aux, parts)          # [B, NP, H, W]
+            pixels, grad_pixels, aux, parts, color_cotangent)
+        # [B, NP, H, W]
         planes = jnp.pad(planes, ((0, 0), (0, 0), (0, hp - height),
                                   (0, wp - width)))
         planes = planes.reshape(

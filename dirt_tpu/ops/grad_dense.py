@@ -218,7 +218,7 @@ def _grad_kernel_fused(count_ref, face_ref, planes_ref, out_ref, *,
     jax.lax.fori_loop(n_live, num_chunks, dead_body, 0)
 
 
-def prepass_and_planes(pixels, grad_pixels, aux, parts):
+def prepass_and_planes(pixels, grad_pixels, aux, parts, color_cotangent=None):
     """Runs the XLA pre-pass appropriate for `parts` and assembles the
     [B, NP, H, W] plane stack per plane_layout.  Returns (planes,
     grad_background, dilated).
@@ -229,8 +229,34 @@ def prepass_and_planes(pixels, grad_pixels, aux, parts):
     pre-pass products needed are the background cotangent mask and the
     zeroed barycentrics.  Its `dilated` debug marker is all-false (no
     dilation was computed); the deferred path discards the debug image.
+
+    `color_cotangent` (requires parts="all") builds the FUSED-DEFERRED
+    stack: the position planes (ax/ay/px/py/bary_d/face_d) come from
+    Scharr-filtering `pixels` (the shaded image) against `grad_pixels`,
+    while the cotangent planes feeding the colour reductions -- and the
+    background gradient -- come from `color_cotangent` (the shader-chained
+    G-buffer cotangent).  This makes one parts="all"-shaped kernel call
+    compute both halves of the deferred backward
+    (dirt/rasterise_ops.py:204-237) in a single sweep over the visits;
+    each half is the identical expression subtree of the corresponding
+    single-part call, so computed rows stay bitwise-equal.
     """
     f32 = lambda a: a.astype(jnp.float32)
+    if color_cotangent is not None:
+        assert parts == "all"
+        pre = backward.grad_prepass(pixels, grad_pixels, aux)
+        covered_pre = aux.indices[..., 0] >= 0
+        grad_background = jnp.where(covered_pre[..., None], 0.0,
+                                    color_cotangent)
+        planes = jnp.concatenate([
+            jnp.stack([pre.ax, pre.ay, pre.px_t, pre.py_t], axis=1),
+            jnp.moveaxis(pre.bary_d, -1, 1),
+            f32(pre.face_d)[:, None],
+            jnp.moveaxis(pre.bary_pre, -1, 1),
+            f32(pre.face_pre)[:, None],
+            jnp.moveaxis(color_cotangent, -1, 1),
+        ], axis=1)                                    # [B, 12+Ccol, H, W]
+        return planes, grad_background, pre.dilated
     if parts == "color":
         covered_pre = aux.indices[..., 0] >= 0
         grad_background = jnp.where(covered_pre[..., None], 0.0, grad_pixels)
@@ -288,27 +314,41 @@ def scatter_face_grads(face_grads, seg, batch, num_vertices, channels,
 
 
 def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
-                         interpret=None, parts="all"):
+                         interpret=None, parts="all", color_cotangent=None):
     """Dense Pallas gradient assembly; same contract and semantics as
-    backward.rasterise_grad_batch (all arguments [B, ...])."""
+    backward.rasterise_grad_batch (all arguments [B, ...]).
+
+    `color_cotangent` selects the fused-deferred plane stack (see
+    prepass_and_planes): colour reductions and the background gradient
+    read it instead of `grad_pixels`, and the output colour width is its
+    channel count (which may differ from the shaded image's)."""
     if interpret is None:
         from . import dispatch
         interpret = not dispatch.on_accelerator()
 
     from . import dispatch as _dispatch
-    vertices, faces, pixels, grad_pixels, aux = _dispatch.guard_constants(
+    (vertices, faces, pixels, grad_pixels, aux,
+     color_cotangent) = _dispatch.guard_constants(
         jnp.asarray(vertices, jnp.float32),
         jnp.asarray(faces, jnp.int32),
         jnp.asarray(pixels, jnp.float32),
-        jnp.asarray(grad_pixels, jnp.float32), aux)
+        jnp.asarray(grad_pixels, jnp.float32), aux,
+        None if color_cotangent is None
+        else jnp.asarray(color_cotangent, jnp.float32))
 
-    batch, height, width, channels = pixels.shape
+    batch, height, width, _ = pixels.shape
+    # The colour-row width follows the cotangent feeding the colour
+    # reductions; the shaded image's channel count only shapes the Scharr
+    # pre-pass (whose outputs are channel-count independent).
+    channels = (pixels.shape[-1] if color_cotangent is None
+                else color_cotangent.shape[-1])
     num_vertices = vertices.shape[1]
     num_faces = faces.shape[1]
 
     if num_faces == 0:
+        cot = grad_pixels if color_cotangent is None else color_cotangent
         return backward.RasteriseGrads(
-            grad_background=grad_pixels,
+            grad_background=cot,
             grad_vertices=jnp.zeros((batch, num_vertices, 4), jnp.float32),
             grad_vertex_colors=jnp.zeros(
                 (batch, num_vertices, channels), jnp.float32),
@@ -317,7 +357,7 @@ def rasterise_grad_batch(vertices, faces, pixels, grad_pixels, aux,
 
     # --- elementwise XLA pre-pass + parts-specific plane stack ---
     planes, grad_background, dilated = prepass_and_planes(
-        pixels, grad_pixels, aux, parts)
+        pixels, grad_pixels, aux, parts, color_cotangent)
 
     num_chunks = max(1, _cdiv(
         forward_pallas.tile_face_cap(num_faces), CHUNK))

@@ -67,11 +67,22 @@ def _shift_fill(x, ox, oy, fill):
     return jnp.concatenate([x[:, 1:], col], axis=1)
 
 
-def _prepass_kernel(px_ref, gp_ref, bary_ref, idx_ref, w_ref, face_ref,
-                    planes_ref, dilated_ref,
-                    *, height, width, channels, tile_h, tile_w, np_dma,
-                    parts="all"):
-    """One grid step per image; all planes [H, W] f32/i32 in VMEM."""
+def _prepass_kernel(px_ref, gp_ref, *rest,
+                    height, width, channels, tile_h, tile_w, np_dma,
+                    parts="all", color_channels=0):
+    """One grid step per image; all planes [H, W] f32/i32 in VMEM.
+
+    `color_channels` > 0 selects the fused-deferred stack: an extra
+    cotangent input follows gp_ref, and the emitted cotangent planes (the
+    ones the colour reductions read) come from it instead of gp_ref,
+    which still drives the Scharr/viewport position planes
+    (grad_dense.prepass_and_planes documents the semantics)."""
+    if color_channels:
+        (cg_ref, bary_ref, idx_ref, w_ref, face_ref,
+         planes_ref, dilated_ref) = rest
+    else:
+        bary_ref, idx_ref, w_ref, face_ref, planes_ref, dilated_ref = rest
+        cg_ref = None
     half_w, half_h = 0.5 * width, 0.5 * height
 
     # --- Scharr responses per channel (rasterise_grad_egl.cu:113-127) ---
@@ -159,7 +170,10 @@ def _prepass_kernel(px_ref, gp_ref, bary_ref, idx_ref, w_ref, face_ref,
     if parts == "all":
         planes += [*[jnp.where(covered_pre, b, 0.0) for b in bary],
                    f32(face)]
-        planes += [gp_ref[0, c] for c in range(channels)]
+        if color_channels:
+            planes += [cg_ref[0, c] for c in range(color_channels)]
+        else:
+            planes += [gp_ref[0, c] for c in range(channels)]
     planes += [zero] * (np_dma - len(planes))
 
     # --- Tile-major stack write: each [tile_h, tile_w] slice is one store.
@@ -172,17 +186,19 @@ def _prepass_kernel(px_ref, gp_ref, bary_ref, idx_ref, w_ref, face_ref,
     dilated_ref[0] = dilated.astype(jnp.float32)
 
 
-def supported(height, width, channels, tile_h, tile_w, np_dma):
+def supported(height, width, channels, tile_h, tile_w, np_dma,
+              color_channels=0):
     """Whole-image VMEM residency + exact tiling are required; callers
     fall back to the XLA pre-pass otherwise."""
     if height % tile_h or width % tile_w:
         return False
-    resident = (3 * channels + 10 + np_dma) * height * width * 4
+    resident = ((3 * channels + color_channels + 10 + np_dma)
+                * height * width * 4)
     return resident * 2 <= 48 * 1024 * 1024   # double-buffered pipeline
 
 
 def plane_stack(pixels, grad_pixels, aux, tile_h, tile_w, np_dma,
-                interpret=False, parts="all"):
+                interpret=False, parts="all", color_cotangent=None):
     """Fused pre-pass for a batch.
 
     Args are the batched gradient inputs ([B, H, W, C] pixels/grad_pixels,
@@ -190,8 +206,12 @@ def plane_stack(pixels, grad_pixels, aux, tile_h, tile_w, np_dma,
     ops/grad_dense.plane_layout(parts) order, dilated [B, H, W] bool).
     `parts` may be "all" or "position" (the "color" subset needs no
     pre-pass at all -- see grad_dense.prepass_and_planes).
+    `color_cotangent` (parts="all" only) emits the fused-deferred stack:
+    cotangent planes from it, position planes from pixels/grad_pixels.
     """
     batch, height, width, channels = pixels.shape
+    color_channels = (0 if color_cotangent is None
+                      else color_cotangent.shape[-1])
     tiles_y, tiles_x = height // tile_h, width // tile_w
     num_tiles = tiles_y * tiles_x
 
@@ -202,16 +222,22 @@ def plane_stack(pixels, grad_pixels, aux, tile_h, tile_w, np_dma,
 
     kernel = functools.partial(
         _prepass_kernel, height=height, width=width, channels=channels,
-        tile_h=tile_h, tile_w=tile_w, np_dma=np_dma, parts=parts)
+        tile_h=tile_h, tile_w=tile_w, np_dma=np_dma, parts=parts,
+        color_channels=color_channels)
     img = lambda *trail: pl.BlockSpec(
         (1,) + trail, lambda b: (b,) + (0,) * len(trail),
         memory_space=pltpu.VMEM)
+    extra_in = ([jnp.moveaxis(color_cotangent, -1, 1)] if color_channels
+                else [])
+    extra_spec = ([img(color_channels, height, width)] if color_channels
+                  else [])
     planes, dilated = pl.pallas_call(
         kernel,
         grid=(batch,),
         in_specs=[
             img(channels, height, width),
             img(channels, height, width),
+            *extra_spec,
             img(3, height, width),
             img(3, height, width),
             img(height, width),
@@ -231,7 +257,7 @@ def plane_stack(pixels, grad_pixels, aux, tile_h, tile_w, np_dma,
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(px_t, gp_t, bary_t, idx_t, aux.clip_w, aux.face_index)
+    )(px_t, gp_t, *extra_in, bary_t, idx_t, aux.clip_w, aux.face_index)
     planes = planes.reshape(
         batch * num_tiles, np_dma, tile_h * tile_w)
     return planes, dilated > 0.5

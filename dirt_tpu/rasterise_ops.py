@@ -27,6 +27,7 @@ Architectural differences from the reference (deliberate, TPU-first):
 """
 
 import functools
+import os as _os
 
 import numpy as np
 import jax
@@ -34,6 +35,14 @@ import jax.numpy as jnp
 
 from .ops import backward as _backward
 from .ops import dispatch as _dispatch
+
+# Fused deferred backward (round 5): both halves of the deferred gradient
+# in one kernel sweep per paired channel group (backward.
+# rasterise_grad_deferred) instead of a parts="position" sweep plus a
+# parts="color" sweep.  Bitwise-equal to the two-call path by
+# construction; default ON after the device A/B (sweeps/_sweep_dbwd.py,
+# BASELINE.md round-5).
+DEFERRED_FUSED = _os.environ.get("DIRT_TPU_DEFERRED_FUSED", "1") != "0"
 
 
 def _int_cotangent(x):
@@ -216,24 +225,32 @@ def _deferred_bwd(shader_fn, backend, residuals, grad_pixels):
     del backend
     vertices, faces, gbuffer, pixels, aux, shader_inputs = residuals
 
-    # Vertex gradients come from filtering the *shaded* image: these are the
-    # final, correct boundary gradients (dirt/rasterise_ops.py:204-210).
-    # parts="position" skips the colour reductions this call discards
-    # (round-5; the computed rows are bitwise-equal to parts="all").
-    _, grad_vertices, _ = _backward.rasterise_grad_grouped(
-        vertices, faces, pixels, grad_pixels, aux, parts="position")
-
-    # Attribute/background gradients flow through the shader first, then
-    # through the rasteriser's interior gradients
-    # (dirt/rasterise_ops.py:212-237); the vertex gradients of this second
-    # call are discarded -- parts="color" skips them AND the Scharr +
-    # dilation pre-pass (colour grads read pre-dilation coverage).
+    # Attribute/background gradients flow through the shader first
+    # (dirt/rasterise_ops.py:212-237).
     _, shader_vjp = jax.vjp(
         lambda gb, si: shader_fn(gb, *si), gbuffer, shader_inputs)
     grad_gbuffer, grad_shader_inputs = shader_vjp(grad_pixels)
 
-    grad_background, _, grad_attributes = _backward.rasterise_grad_grouped(
-        vertices, faces, gbuffer, grad_gbuffer, aux, parts="color")
+    if DEFERRED_FUSED:
+        # One kernel sweep per paired channel group computes BOTH halves:
+        # vertex gradients from Scharr-filtering the *shaded* image (the
+        # correct boundary gradients, dirt/rasterise_ops.py:204-210) and
+        # attribute/background gradients from the G-buffer cotangent.
+        # Bitwise-equal to the two-call form below.
+        grad_background, grad_vertices, grad_attributes = (
+            _backward.rasterise_grad_deferred(
+                vertices, faces, pixels, grad_pixels, gbuffer,
+                grad_gbuffer, aux))
+    else:
+        # Two-call form: parts="position" skips the colour reductions the
+        # shaded-pixels call discards; parts="color" skips the vertex rows
+        # AND the Scharr + dilation pre-pass (colour grads read
+        # pre-dilation coverage).
+        _, grad_vertices, _ = _backward.rasterise_grad_grouped(
+            vertices, faces, pixels, grad_pixels, aux, parts="position")
+        grad_background, _, grad_attributes = (
+            _backward.rasterise_grad_grouped(
+                vertices, faces, gbuffer, grad_gbuffer, aux, parts="color"))
 
     return (grad_background, grad_vertices, grad_attributes,
             _int_cotangent(faces), grad_shader_inputs)

@@ -188,6 +188,49 @@ def deferred_fit():
     assert float(loss) < 0.5 * first, (first, float(loss))
 
 
+def deferred_fused_parity():
+    # Round-5 fused deferred backward: one parts="all"-shaped sweep with a
+    # separate colour cotangent (backward.rasterise_grad_deferred) must be
+    # BITWISE-equal on device to the two-call parts="position"+"color"
+    # form.  4-channel G-buffer exercises the 3+1 group pairing; 60 faces
+    # over 64x128 spans several face blocks of the production kernel.
+    from dirt_tpu.ops import backward, dispatch
+    rng = np.random.RandomState(23)
+    v = rng.randn(2, 60, 4).astype(np.float32)
+    v[..., 3] = np.abs(v[..., 3]) + 0.5
+    f = rng.randint(0, 60, size=(2, 45, 3)).astype(np.int32)
+    a = rng.uniform(size=(2, 60, 4)).astype(np.float32)
+    bg = rng.uniform(size=(2, 64, 128, 4)).astype(np.float32)
+    v, f, a, bg = map(jnp.asarray, (v, f, a, bg))
+    gbuffer, aux = jax.jit(
+        lambda vv: dispatch.forward_batch(bg, vv, a, f))(v)
+    light = jnp.asarray([0.8, 0.6, 0.4, 0.2])
+    shader = lambda gb: jnp.tanh(gb * light)[..., :3]
+    pixels, shader_vjp = jax.vjp(shader, gbuffer)
+    gp = jnp.asarray(rng.randn(
+        *np.asarray(pixels).shape).astype(np.float32))
+    (ggb,) = shader_vjp(gp)
+
+    def two_call(vv):
+        _, gv, _ = backward.rasterise_grad_grouped(
+            vv, f, pixels, gp, aux, parts="position")
+        gb_, _, ga = backward.rasterise_grad_grouped(
+            vv, f, gbuffer, ggb, aux, parts="color")
+        return gb_, gv, ga
+
+    def fused(vv):
+        return backward.rasterise_grad_deferred(
+            vv, f, pixels, gp, gbuffer, ggb, aux)
+
+    ref = jax.jit(two_call)(v)
+    got = jax.jit(fused)(v)
+    for name, r, g in zip(("background", "vertices", "attributes"),
+                          ref, got):
+        r, g = np.asarray(r), np.asarray(g)
+        assert np.array_equal(r, g), (
+            name, float(np.abs(r - g).max()))
+
+
 def closure_constant_regression():
     # Scene data captured as jit closure constants must render/differentiate
     # identically to the all-args call.  Regression for the round-2 relay
@@ -480,6 +523,7 @@ def main():
     check("gradient-kernel parity (dense + mxu vs xla)", grad_parity)
     check("camera-crossing clipping semantics", crossing_scene)
     check("deferred shading end-to-end fit", deferred_fit)
+    check("fused deferred backward bitwise parity", deferred_fused_parity)
     check("closure-constant regression (fwd + grad)",
           closure_constant_regression)
     check("block-binned kernels parity (fwd + grad)", blocks_backend_parity)
