@@ -82,6 +82,19 @@ SPATIAL = _os.environ.get("DIRT_TPU_SPATIAL_SORT", "1") != "0"
 # refines the bbox hit test so thin/diagonal faces stop visiting the empty
 # corners of their bboxes.  Conservative by an 8-ulp edge-function margin.
 EDGE_CULL = _os.environ.get("DIRT_TPU_EDGE_CULL", "1") != "0"
+# Pallas hit-matrix kernel: the round-5 stage split leaves the CSR packs
+# as the largest non-exhausted step cost (fwd pack 0.33 ms of a 3.91 ms
+# step), and the per-(tile, face) bbox + half-plane test fragments into
+# ~30 XLA fusions of tiny [T, F] planes (sweeps/_probe_pack.py: +0.305 ms
+# for the forward hit stage alone).  One Pallas kernel computes the whole
+# keep plane per image.  Correctness does not require bitwise hit
+# equality: the schedule only chooses which faces are SWEPT -- winners
+# are a sweep-set-independent lexicographic minimum and gradient rows of
+# unswept/extra faces reduce exact zeros -- and the 8-ulp margin makes
+# the cull conservative under any FMA contraction choice.  (In practice
+# the kernel mirrors the XLA expression tree and matches it bitwise on
+# device -- sweeps/_sweep_hitk.py.)
+HIT_PALLAS = _os.environ.get("DIRT_TPU_HIT_PALLAS", "1") != "0"
 # (REMOVED, round 4: per-visit sub-chunk range clipping, DIRT_TPU_SUBCLIP.
 # The device A/B -- sweeps/_sweep_subclip.py, table in BASELINE.md -- lost
 # at every size: fwd 2.6->3.35 ms at 512 faces, 7.2->11.33 at 2048; the
@@ -296,6 +309,86 @@ def _edge_keep(face_data, edge_cols, tiles_y, tiles_x, tile_h, tile_w,
     return jnp.logical_not(any_max_neg & any_min_pos)
 
 
+def _hit_kernel(tbl_ref, out_ref, *, bbox_cols, edge_cols, tiles_y, tiles_x,
+                tile_h, tile_w, height, width, dilate, use_edges):
+    """Whole keep plane [T, F] for one image in one kernel: faces ride the
+    lanes ([1, F] table-column rows), tiles the sublanes ([T, 1] iota
+    scalars).  Expression tree mirrors the XLA hit_matrix/_edge_keep path
+    term for term so the results agree (bitwise on device in practice;
+    conservativeness is margin-guaranteed regardless)."""
+    num_tiles = tiles_y * tiles_x
+    t = jax.lax.broadcasted_iota(jnp.int32, (num_tiles, 1), 0)
+    ty = t // tiles_x
+    tx = jax.lax.rem(t, tiles_x)
+    r0c, r1c, c0c, c1c = bbox_cols
+
+    def row(i):
+        return tbl_ref[i:i + 1, :]                         # [1, F]
+
+    tile_r0 = (ty * tile_h).astype(jnp.float32)            # [T, 1]
+    tile_c0 = (tx * tile_w).astype(jnp.float32)
+    keep = ((row(r0c) <= tile_r0 + (tile_h - 1))
+            & (row(r1c) >= tile_r0)
+            & (row(c0c) <= tile_c0 + (tile_w - 1))
+            & (row(c1c) >= tile_c0))                       # [T, F]
+
+    if use_edges:
+        # Same tile-rectangle NDC corners as _edge_keep (c_lo/r_lo built
+        # from the same f32 products, so identical values).
+        c_lo = tile_c0 - dilate
+        c_hi = c_lo + (tile_w - 1) + 2 * dilate
+        r_lo = tile_r0 - dilate
+        r_hi = r_lo + (tile_h - 1) + 2 * dilate
+        x_lo = (c_lo + 0.5) * (2.0 / width) - 1.0
+        x_hi = (c_hi + 0.5) * (2.0 / width) - 1.0
+        y_hi = 1.0 - (r_lo + 0.5) * (2.0 / height)
+        y_lo = 1.0 - (r_hi + 0.5) * (2.0 / height)
+
+        any_max_neg = None
+        any_min_pos = None
+        for i in range(3):
+            a = row(edge_cols + 3 * i)                     # [1, F]
+            b = row(edge_cols + 3 * i + 1)
+            c = row(edge_cols + 3 * i + 2)
+            margin = (2.0 ** -20) * (jnp.abs(a) + jnp.abs(b) + jnp.abs(c))
+            a_pos = a > 0
+            b_pos = b > 0
+            ax_max = a * jnp.where(a_pos, x_hi, x_lo)      # [T, F]
+            ax_min = a * jnp.where(a_pos, x_lo, x_hi)
+            by_max = b * jnp.where(b_pos, y_hi, y_lo)
+            by_min = b * jnp.where(b_pos, y_lo, y_hi)
+            emax = by_max + (ax_max + c)
+            emin = by_min + (ax_min + c)
+            mx = emax < -margin
+            mn = emin > margin
+            any_max_neg = mx if any_max_neg is None else any_max_neg | mx
+            any_min_pos = mn if any_min_pos is None else any_min_pos | mn
+        keep = keep & jnp.logical_not(any_max_neg & any_min_pos)
+
+    out_ref[...] = jnp.where(keep, 1.0, 0.0)
+
+
+def _hit_matrix_pallas(face_data, bbox_cols, num_blocks, chunk,
+                       tiles_y, tiles_x, tile_h, tile_w,
+                       edge_cols, height, width, dilate, use_edges):
+    from . import dispatch
+    interpret = not dispatch.on_accelerator()
+    num_tiles = tiles_y * tiles_x
+    kernel = functools.partial(
+        _hit_kernel, bbox_cols=bbox_cols, edge_cols=edge_cols,
+        tiles_y=tiles_y, tiles_x=tiles_x, tile_h=tile_h, tile_w=tile_w,
+        height=height, width=width, dilate=dilate, use_edges=use_edges)
+    keep = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (num_tiles, face_data.shape[0]), jnp.float32),
+        interpret=interpret,
+    )(face_data.T)
+    overlap = keep > 0.5
+    overlap = overlap.reshape(num_tiles, num_blocks, chunk)
+    return jnp.any(overlap, axis=-1)
+
+
 def hit_matrix(face_data, bbox_cols, num_blocks, chunk,
                tiles_y, tiles_x, tile_h, tile_w,
                edge_cols=None, height=None, width=None, dilate=0):
@@ -306,7 +399,16 @@ def hit_matrix(face_data, bbox_cols, num_blocks, chunk,
     (_edge_keep): a block visits a tile only if some member face's
     edge-sign regions can actually reach it -- a large visit reduction for
     thin/diagonal faces whose bboxes are mostly empty space.
+
+    DIRT_TPU_HIT_PALLAS computes the per-(tile, face) test as ONE Pallas
+    kernel (_hit_kernel) instead of ~30 XLA fusions (see the flag comment
+    for why schedule correctness never depends on bitwise hit equality).
     """
+    use_edges = edge_cols is not None and EDGE_CULL
+    if HIT_PALLAS:
+        return _hit_matrix_pallas(
+            face_data, bbox_cols, num_blocks, chunk, tiles_y, tiles_x,
+            tile_h, tile_w, edge_cols, height, width, dilate, use_edges)
     r0c, r1c, c0c, c1c = bbox_cols
     tile_r0 = jnp.arange(tiles_y, dtype=jnp.int32) * tile_h
     tile_c0 = jnp.arange(tiles_x, dtype=jnp.int32) * tile_w
