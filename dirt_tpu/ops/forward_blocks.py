@@ -462,6 +462,21 @@ def _raster_kernel(slot_tile_ref, slot_block_ref, slot_dma_ref,
             state_ref[0], cand, best_depth, best_orig, ns)
 
 
+# Sort-free build_runs: replace the stable argsort (hits first) with a
+# per-run cumsum rank scatter.  The slot list is IDENTICAL bitwise: the
+# argsort places the j'-th smallest hit item at starts[r] + j', and the
+# rank of hit item j among its run's hits IS j' (both orders are
+# ascending item index), so every scatter writes the same value to the
+# same position.  Default OFF: the device A/B (sweeps/_sweep_runs.py,
+# BASELINE.md round-5) measured it NEUTRAL-to-slightly-worse (pack
+# 0.416 -> 0.423 ms, step -1%) -- the [R, I]-shaped stable argsort is
+# already as cheap as the cumsum+scatter that replaces it, unlike the
+# round-3 [T, rows, NCK] per-tile packs where sort-free forms lost big.
+# Kept as the measured falsification + an exactness cross-check
+# (tests/test_hit_kernel.py pins both paths identical).
+RUNS_SORTFREE = _os.environ.get("DIRT_TPU_RUNS_SORTFREE", "0") != "0"
+
+
 def build_runs(hit, num_slots):
     """Fused-CSR schedule for one image from the [R, I] bool hit matrix:
     (starts [R], counts [R], item_ids [S], dropped []) i32.  Run r's live
@@ -478,12 +493,18 @@ def build_runs(hit, num_slots):
     # across consecutive runs and needs the visit sequence gap-free.
     starts = jnp.minimum(total - n, num_slots)
     counts = jnp.minimum(total, num_slots) - starts
-    order = jnp.argsort(jnp.logical_not(hit), axis=1,
-                        stable=True).astype(jnp.int32)     # hits first
     j = jnp.arange(num_items, dtype=jnp.int32)[None, :]
-    pos = jnp.where(j < n[:, None], starts[:, None] + j, num_slots)
+    if RUNS_SORTFREE:
+        rank = jnp.cumsum(hit, axis=1).astype(jnp.int32) - 1   # [R, I]
+        pos = jnp.where(hit, starts[:, None] + rank, num_slots)
+        values = jnp.broadcast_to(j, pos.shape)
+    else:
+        order = jnp.argsort(jnp.logical_not(hit), axis=1,
+                            stable=True).astype(jnp.int32)     # hits first
+        pos = jnp.where(j < n[:, None], starts[:, None] + j, num_slots)
+        values = order
     item_ids = jnp.zeros((num_slots,), jnp.int32).at[
-        pos.reshape(-1)].set(order.reshape(-1), mode="drop")
+        pos.reshape(-1)].set(values.reshape(-1), mode="drop")
     dropped = jnp.maximum(jnp.sum(n) - num_slots, 0)
     return starts, counts, item_ids, dropped
 

@@ -60,6 +60,22 @@ def test_hit_pallas_matches_xla_bitwise(monkeypatch, table, edges):
     np.testing.assert_array_equal(h_x, h_p)
 
 
+def test_build_runs_sortfree_identical(monkeypatch):
+    # The cumsum-rank scatter must reproduce the argsort slot list EXACTLY
+    # (same values at same positions), including truncated-budget tails.
+    rng = np.random.RandomState(3)
+    for _ in range(12):
+        r, i = rng.randint(2, 30), rng.randint(2, 30)
+        hit = jnp.asarray(rng.rand(r, i) < rng.uniform(0.05, 0.9))
+        slots = int(rng.randint(1, r * i + 4))
+        monkeypatch.setattr(forward_blocks, "RUNS_SORTFREE", False)
+        ref = forward_blocks.build_runs(hit, slots)
+        monkeypatch.setattr(forward_blocks, "RUNS_SORTFREE", True)
+        got = forward_blocks.build_runs(hit, slots)
+        for a, b in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_blocks_backend_identical_across_flag(monkeypatch):
     # End-to-end: forward pixels/aux and gradients through the blocks
     # backend must be identical whichever hit implementation built the
