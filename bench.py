@@ -74,7 +74,7 @@ from dirt_tpu.utils import meshes
 # comparison (BASELINE.json); no published number exists, so vs_baseline is
 # reported against this locally-measured round-1 anchor.
 ROUND1_ANCHOR = 520.9   # frames/sec/chip measured in round 1 (TPU v5e)
-RECORD_BEST = 3993.0    # best honest recorded value (round 4, TPU v5e)
+RECORD_BEST = 4322.2    # best honest recorded value (round 5, TPU v5e)
 MAX_ATTEMPTS = 3        # slope re-measurements before giving up
 REPEATS = 5             # odd; median defeats one-off relay cache hits
 GROUPS = 3              # interleaved slope groups; median defeats drift
