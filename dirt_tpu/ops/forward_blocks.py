@@ -95,6 +95,16 @@ EDGE_CULL = _os.environ.get("DIRT_TPU_EDGE_CULL", "1") != "0"
 # the kernel mirrors the XLA expression tree and matches it bitwise on
 # device -- sweeps/_sweep_hitk.py.)
 HIT_PALLAS = _os.environ.get("DIRT_TPU_HIT_PALLAS", "1") != "0"
+# The kernel keeps the whole [T, F] keep plane VMEM-resident, with a
+# live set of ~8 same-shape edge-test intermediates (measured 33.75 MB
+# scoped at 16x256^2x8192f, i.e. ~8x the 4 MB keep plane); past this
+# keep-plane budget the XLA path takes over (where the pack is a
+# vanishing share of the step anyway -- the large-mesh regime is
+# sweep-bound, BASELINE.md).  8 MB + the kernel's 64 MB scoped limit
+# covers every production config through 16x256^2x8192f; 512^2 x
+# 65,536 faces ([512, 65536] = 134 MB) falls back.
+HIT_PALLAS_BYTES = int(float(_os.environ.get(
+    "DIRT_TPU_HIT_PALLAS_MB", "8")) * 1024 * 1024)
 # (REMOVED, round 4: per-visit sub-chunk range clipping, DIRT_TPU_SUBCLIP.
 # The device A/B -- sweeps/_sweep_subclip.py, table in BASELINE.md -- lost
 # at every size: fwd 2.6->3.35 ms at 512 faces, 7.2->11.33 at 2048; the
@@ -382,6 +392,12 @@ def _hit_matrix_pallas(face_data, bbox_cols, num_blocks, chunk,
         kernel,
         out_shape=jax.ShapeDtypeStruct(
             (num_tiles, face_data.shape[0]), jnp.float32),
+        # The live set is ~8 [T, F] planes (keep + per-edge extremes):
+        # 33.75 MB at 16x256^2x8192f, over the 16 MB default -- match the
+        # raster kernels' raised limit.  HIT_PALLAS_BYTES gates the keep
+        # plane at 8 MB so the worst case stays ~64 MB.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(face_data.T)
     overlap = keep > 0.5
@@ -405,7 +421,8 @@ def hit_matrix(face_data, bbox_cols, num_blocks, chunk,
     for why schedule correctness never depends on bitwise hit equality).
     """
     use_edges = edge_cols is not None and EDGE_CULL
-    if HIT_PALLAS:
+    if (HIT_PALLAS and tiles_y * tiles_x * face_data.shape[0] * 4
+            <= HIT_PALLAS_BYTES):
         return _hit_matrix_pallas(
             face_data, bbox_cols, num_blocks, chunk, tiles_y, tiles_x,
             tile_h, tile_w, edge_cols, height, width, dilate, use_edges)
