@@ -60,6 +60,34 @@ def test_hit_pallas_matches_xla_bitwise(monkeypatch, table, edges):
     np.testing.assert_array_equal(h_x, h_p)
 
 
+def test_vmem_gate_falls_back_identically(monkeypatch):
+    # Past HIT_PALLAS_BYTES the kernel would exceed its scoped-VMEM limit
+    # (measured 33.75 MB at 16x256^2x8192f -- ~8 live [T, F] planes), so
+    # hit_matrix must take the XLA path; a zero budget forces that branch
+    # and the result must match the kernel's exactly.
+    rng = np.random.RandomState(41)
+    height = width = 64
+    v, f, c = _soup(rng, nf=45)
+    chunk, th, tw = 16, 4, 128
+    nb = -(-f.shape[1] // chunk)
+    pad = nb * chunk - f.shape[1]
+    ty, tx = -(-height // th), -(-width // tw)
+
+    def hit(budget):
+        monkeypatch.setattr(forward_blocks, "HIT_PALLAS", True)
+        monkeypatch.setattr(forward_blocks, "HIT_PALLAS_BYTES", budget)
+
+        def one(vv, cc, ff):
+            fd = forward_pallas._face_table(vv, cc, ff, height, width, pad)
+            return forward_blocks.hit_matrix(
+                fd, (20, 21, 22, 23), nb, chunk, ty, tx, th, tw,
+                edge_cols=0, height=height, width=width)
+        return jax.vmap(one)(v, c, f)
+
+    np.testing.assert_array_equal(np.asarray(hit(0)),
+                                  np.asarray(hit(1 << 30)))
+
+
 def test_build_runs_sortfree_identical(monkeypatch):
     # The cumsum-rank scatter must reproduce the argsort slot list EXACTLY
     # (same values at same positions), including truncated-budget tails.
