@@ -72,6 +72,33 @@ def test_fused_deferred_bitwise_vs_two_call(impl, attrs):
                                       err_msg=f"{name} ({impl}, C={attrs})")
 
 
+def test_fused_deferred_two_single_channel_shaded_groups():
+    # C_shaded=2 groups as 1+1 (the reference's 3+1 rule, begin+3 > C so
+    # each group is one channel): BOTH position calls pair with G-buffer
+    # groups of different widths (g0 has 3 channels, g1 has 1), so the
+    # fused calls mix per-call Scharr widths and colour widths.
+    rng = np.random.RandomState(8)
+    v, f, a, bg = _scene(rng, attrs=4)
+    gbuffer, aux = dispatch.forward_batch(bg, v, a, f, "dense")
+    shader = lambda gb: jnp.stack(
+        [jnp.tanh(gb).sum(-1), (gb ** 2).sum(-1)], axis=-1)   # C_shaded=2
+    pixels, shader_vjp = jax.vjp(shader, gbuffer)
+    assert pixels.shape[-1] == 2
+    grad_pixels = jnp.asarray(
+        rng.randn(*np.asarray(pixels).shape), jnp.float32)
+    (grad_gbuffer,) = shader_vjp(grad_pixels)
+
+    ref = _two_call(v, f, pixels, grad_pixels, gbuffer, grad_gbuffer, aux,
+                    "xla")
+    got = backward.rasterise_grad_deferred(
+        v, f, pixels, grad_pixels, gbuffer, grad_gbuffer, aux,
+        implementation="xla")
+    for name, r, g in zip(("background", "vertices", "attributes"),
+                          ref, got):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g),
+                                      err_msg=name)
+
+
 def test_fused_deferred_wide_shaded_groups():
     # Shaded pixels wider than one group (C=4 -> groups 3+1): the position
     # half must sum per-group Scharr contributions in the same order as
