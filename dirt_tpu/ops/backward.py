@@ -581,7 +581,7 @@ def rasterise_grad_deferred(vertices, faces, pixels, grad_pixels, gbuffer,
 
 
 def rasterise_grad_grouped(vertices, faces, pixels, grad_pixels, aux,
-                           parts="all"):
+                           parts="all", implementation=None):
     """Channel-grouped gradient assembly, matching reference semantics.
 
     The reference native op only handles 1 or 3 channels; wider images are
@@ -591,17 +591,18 @@ def rasterise_grad_grouped(vertices, faces, pixels, grad_pixels, aux,
     grouping changes the gradient values; we replicate the grouping exactly
     for parity.  All arguments are batched [B, ...].
 
-    `parts` propagates to every per-group call (see rasterise_grad_batch);
-    grouping itself is parts-agnostic because both the per-group position
-    sums and the per-group colour concatenation act on the group's own
-    rows.
+    `parts` and `implementation` propagate to every per-group call (see
+    rasterise_grad_batch); grouping itself is parts-agnostic because both
+    the per-group position sums and the per-group colour concatenation act
+    on the group's own rows.
 
     Returns (grad_background, grad_vertices, grad_vertex_colors).
     """
     channels = pixels.shape[-1]
     if channels in (1, 3):
         grads = rasterise_grad_batch(vertices, faces, pixels, grad_pixels,
-                                     aux, parts=parts)
+                                     aux, parts=parts,
+                                     implementation=implementation)
         return grads.grad_background, grads.grad_vertices, grads.grad_vertex_colors
 
     grad_backgrounds = []
@@ -613,7 +614,7 @@ def rasterise_grad_grouped(vertices, faces, pixels, grad_pixels, aux,
         grads = rasterise_grad_batch(
             vertices, faces,
             pixels[..., begin:end], grad_pixels[..., begin:end], aux,
-            parts=parts)
+            parts=parts, implementation=implementation)
         grad_backgrounds.append(grads.grad_background)
         grad_vertex_colors.append(grads.grad_vertex_colors)
         grad_vertices = (grads.grad_vertices if grad_vertices is None

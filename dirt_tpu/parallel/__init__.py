@@ -1,5 +1,5 @@
-"""Multi-chip parallelism: batch sharding over a device mesh."""
+"""Multi-chip parallelism: batch sharding and face sharding over a mesh."""
 
-from . import sharding
+from . import face_sharding, sharding
 
-__all__ = ["sharding"]
+__all__ = ["face_sharding", "sharding"]

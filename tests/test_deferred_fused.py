@@ -35,11 +35,19 @@ def _two_call(vertices, faces, pixels, grad_pixels, gbuffer, grad_gbuffer,
               aux, implementation):
     # The formulation rasterise_grad_deferred replaces
     # (rasterise_ops._deferred_bwd's DEFERRED_FUSED=0 branch), with the
-    # implementation pinned on each grouped call.
-    import functools
+    # implementation pinned on each grouped call.  (A partial with the
+    # keyword pre-bound would be overridden by rasterise_grad_grouped's
+    # explicit implementation=None pass-through, so pin via a wrapper
+    # that only fills the default.)
     import unittest.mock as mock
-    call = functools.partial(backward.rasterise_grad_batch,
-                             implementation=implementation)
+    orig = backward.rasterise_grad_batch
+
+    def call(v_, f_, p_, gp_, aux_, parts="all", **kw):
+        kw.setdefault("implementation", None)
+        if kw["implementation"] is None:
+            kw["implementation"] = implementation
+        return orig(v_, f_, p_, gp_, aux_, parts=parts, **kw)
+
     with mock.patch.object(backward, "rasterise_grad_batch", call):
         _, gv, _ = backward.rasterise_grad_grouped(
             vertices, faces, pixels, grad_pixels, aux, parts="position")
