@@ -193,15 +193,23 @@ _face_sharded_core.defvjp(_face_sharded_fwd, _face_sharded_bwd)
 
 
 def rasterise_batch_face_sharded(mesh, background, vertices, vertex_colors,
-                                 faces, backend=None, axis_name=FACE_AXIS):
+                                 faces, backend=None, axis_name=FACE_AXIS,
+                                 batch_axis=None):
     """Rasterises with the FACE list sharded across the mesh.
 
     Args are as rasterise_batch, with `faces` [batch, F, 3] sharded over
-    `axis_name` (F divisible by the mesh size; background/vertices/colors
-    replicated).  Returns replicated pixels, differentiable wrt
+    `axis_name` (F divisible by that mesh axis; background/vertices/
+    colors replicated over it).  Returns pixels differentiable wrt
     background, vertices and vertex_colors with the same filter-based
     gradient semantics as the single-chip path (position rows face-
     sharded + psum, colour rows replicated -- module docstring).
+
+    `batch_axis` composes this with data parallelism on a 2-D mesh
+    (Mesh(devices.reshape(b, f), (batch_axis, axis_name))): every array's
+    leading batch dimension shards over `batch_axis` while faces shard
+    over `axis_name` -- the combine collectives only ever name the face
+    axis, so each batch-shard group runs an independent face-parallel
+    render.
     """
     background = jnp.asarray(background, jnp.float32)
     vertices = jnp.asarray(vertices, jnp.float32)
@@ -212,12 +220,17 @@ def rasterise_batch_face_sharded(mesh, background, vertices, vertex_colors,
         raise ValueError(
             f"face count {faces.shape[1]} not divisible by mesh axis "
             f"{axis_name} size {n}")
+    b = batch_axis
+    if b is not None and background.shape[0] % mesh.shape[b]:
+        raise ValueError(
+            f"batch {background.shape[0]} not divisible by mesh axis "
+            f"{b} size {mesh.shape[b]}")
 
     # check_vma=False: Pallas out_shapes carry no varying-mesh-axes
     # annotation (see parallel/sharding.py); collectives here are explicit.
     @functools.partial(
         jax.shard_map, mesh=mesh, check_vma=False,
-        in_specs=(P(), P(), P(), P(None, axis_name)), out_specs=P())
+        in_specs=(P(b), P(b), P(b), P(b, axis_name)), out_specs=P(b))
     def _render(bg, v, c, f):
         return _face_sharded_core(bg, v, c, f, axis_name, backend)
 

@@ -135,6 +135,37 @@ def test_cross_shard_occlusion():
     np.testing.assert_allclose(a / scale, b / scale, atol=3e-5)
 
 
+def test_2d_mesh_batch_by_faces():
+    # DP x face-parallel composition on a (2 batch, 4 faces) mesh: each
+    # batch-shard pair of chips runs an independent 4-way face-parallel
+    # render; the result must still be the unsharded image, and gradients
+    # must agree within the 1-D tolerances.
+    from jax.sharding import Mesh
+    rng = np.random.RandomState(29)
+    v, f, c, bg = _soup(rng)            # batch 2, 48 faces
+    mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4),
+                ("batch", face_sharding.FACE_AXIS))
+
+    want_px, _ = dispatch.forward_batch(bg, v, c, f)
+    got_px = face_sharding.rasterise_batch_face_sharded(
+        mesh, bg, v, c, f, batch_axis="batch")
+    np.testing.assert_array_equal(np.asarray(want_px), np.asarray(got_px))
+
+    w = jnp.asarray(rng.randn(*np.asarray(want_px).shape).astype(np.float32))
+
+    def loss_ref(vv):
+        return jnp.sum(dirt_tpu.rasterise_batch(bg, vv, c, f) * w)
+
+    def loss_shard(vv):
+        return jnp.sum(face_sharding.rasterise_batch_face_sharded(
+            mesh, bg, vv, c, f, batch_axis="batch") * w)
+
+    a = np.asarray(jax.grad(loss_ref)(v))
+    b = np.asarray(jax.grad(loss_shard)(v))
+    scale = max(np.abs(a).max(), 1.0)
+    np.testing.assert_allclose(a / scale, b / scale, atol=3e-5)
+
+
 def test_face_count_divisibility_raises():
     rng = np.random.RandomState(1)
     v, f, c, bg = _soup(rng, nf=45)    # 45 % 8 != 0
