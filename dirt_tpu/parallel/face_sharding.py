@@ -13,20 +13,17 @@ the winning chip's shaded pixel / aux row is selected with a masked
 dominant cost at scale (BASELINE.md: 8192+ faces are sweep-bound) --
 across chips, with O(pixels) combine traffic.
 
-Gradients keep the exact filter-based semantics by splitting along the
-same lines the kernels already use (`parts`, round 5):
-
-  * POSITION rows are face-keyed reductions (mask `face == fid`): each
-    chip runs the face-masked blocks kernel over ITS face subset against
-    the COMBINED aux (face ids remapped into its local range; foreign
-    winners get an unmatchable sentinel), then the per-face rows meet in
-    one `psum`.  Scharr + occluder dilation run on the combined image, so
-    cross-chip occluder adoption behaves exactly as unsharded.
-  * COLOUR / BACKGROUND rows are pixel-keyed (bary-weighted scatter to
-    the winner's vertex ids, rasterise_grad_egl.cu:134-148) and need no
-    face table: every chip computes them identically from the replicated
-    combined aux via the XLA path (replicated-by-construction, no
-    collective, no double count).
+Gradients keep the exact filter-based semantics and shard along the same
+face-keyed lines the production kernels already use: position rows mask
+the post-dilation face plane and colour rows the pre-dilation one, so
+ONE parts="all" blocks sweep per chip over its face subset -- against
+the COMBINED aux with face ids remapped into its local range (foreign
+winners get an unmatchable sentinel) -- computes that chip's share of
+both halves, and the per-face rows meet in one `psum` each.  Scharr +
+occluder dilation run on the combined image, so cross-chip occluder
+adoption behaves exactly as unsharded; the pixel-keyed background
+gradient is replicated-by-construction (no collective, no double
+count).
 
 Depth for the cross-chip compare is recomputed per winning pixel with the
 spec expression (geometry.fragment_cover_depth, the same tree the
@@ -162,28 +159,29 @@ def _face_sharded_bwd(axis_name, backend, residuals, grad_pixels):
     nloc = faces_local.shape[1]
     offset = jax.lax.axis_index(axis_name) * nloc
 
-    # -- Position rows: this chip's faces only, via the face-masked blocks
-    # kernel.  Remap combined (global) face ids into the local table range;
-    # foreign winners keep covered semantics (their vertex triples, bary
-    # and clip_w still drive Scharr/dilation decisions) but carry an id no
-    # local table row matches.
+    # Both gradient halves are face-keyed in the production kernels
+    # (position rows mask the post-dilation face plane, colour rows the
+    # pre-dilation one), so ONE parts="all" blocks sweep per chip over its
+    # face subset computes this chip's share of everything.  Remap the
+    # combined (global) face ids into the local table range; foreign
+    # winners keep covered semantics (their vertex triples, bary and
+    # clip_w still drive Scharr/dilation and background masking) but carry
+    # an id no local table row matches, so their rows accumulate on their
+    # owning chip only and the psum is an exact disjoint union.  The
+    # background gradient is pixel-keyed (covered-mask select of the
+    # cotangent), identical on every chip -- no collective.
     covered = aux.face_index >= 0
     local_ids = aux.face_index - offset
     foreign = covered & ((local_ids < 0) | (local_ids >= nloc))
     face_local = jnp.where(
         covered, jnp.where(foreign, _FOREIGN, local_ids), -1)
     aux_local = aux._replace(face_index=face_local)
-    _, grad_vertices_local, _ = _backward.rasterise_grad_grouped(
-        vertices, faces_local, pixels, grad_pixels, aux_local,
-        parts="position", implementation="blocks")
+    grad_background, grad_vertices_local, grad_colors_local = (
+        _backward.rasterise_grad_grouped(
+            vertices, faces_local, pixels, grad_pixels, aux_local,
+            parts="all", implementation="blocks"))
     grad_vertices = jax.lax.psum(grad_vertices_local, axis_name)
-
-    # -- Colour/background rows: pixel-keyed scatters over the replicated
-    # combined aux; the XLA path needs no face table, so every chip
-    # computes the identical (replicated) result -- no collective.
-    grad_background, _, grad_vertex_colors = _backward.rasterise_grad_grouped(
-        vertices, faces_local, pixels, grad_pixels, aux,
-        parts="color", implementation="xla")
+    grad_vertex_colors = jax.lax.psum(grad_colors_local, axis_name)
 
     return (grad_background, grad_vertices, grad_vertex_colors,
             np.zeros(faces_local.shape, dtype=jax.dtypes.float0))
