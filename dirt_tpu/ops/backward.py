@@ -524,11 +524,17 @@ def rasterise_grad_deferred(vertices, faces, pixels, grad_pixels, gbuffer,
     sweep whose cotangent planes come from `grad_gbuffer`
     (`color_cotangent` in rasterise_grad_batch) computes both -- sharing
     the face-table pack, the kernel launch, the per-visit face-id reads
-    and one output scatter.  Channel groups pair up positionally: call i
-    fuses shaded group i with G-buffer group i, and whichever side has
-    more groups finishes with single-part calls.  Every computed row is
-    the identical expression subtree of the two-call path, so the result
-    is BITWISE-equal to it (pinned in tests/test_deferred_fused.py).
+    and one output scatter.
+
+    Channel handling: the reference's 3+1 grouping only changes GRADIENT
+    VALUES through the per-group Scharr/dilation of the position half --
+    colour reductions are per-channel independent, so grouping the
+    G-buffer cotangent never changes a colour row.  Hence ALL G-buffer
+    channels ride the FIRST shaded group's sweep (one call in the common
+    C_shaded<=3 case, however wide the G-buffer), and any remaining
+    shaded groups add position-only sweeps.  Every computed row is the
+    identical expression subtree of the grouped two-call path, so the
+    result is BITWISE-equal to it (pinned in tests/test_deferred_fused.py).
 
     Returns (grad_background, grad_vertices, grad_attributes).
     """
@@ -541,43 +547,29 @@ def rasterise_grad_deferred(vertices, faces, pixels, grad_pixels, gbuffer,
         grad_background, _, grad_attrs = rasterise_grad_grouped(
             vertices, faces, gbuffer, grad_gbuffer, aux, parts="color")
         return grad_background, grad_vertices, grad_attrs
+    del gbuffer  # only the mxu fallback's colour call reads the G-buffer
 
     s_groups = _channel_groups(pixels.shape[-1])
-    g_groups = _channel_groups(grad_gbuffer.shape[-1])
     grad_vertices = None
-    grad_backgrounds = []
-    grad_attrs = []
-    for i in range(max(len(s_groups), len(g_groups))):
-        pos = s_groups[i] if i < len(s_groups) else None
-        col = g_groups[i] if i < len(g_groups) else None
-        if pos is not None and col is not None:
+    grad_background = None
+    grad_attrs = None
+    for i, (b0, b1) in enumerate(s_groups):
+        if i == 0:
             g = rasterise_grad_batch(
-                vertices, faces, pixels[..., pos[0]:pos[1]],
-                grad_pixels[..., pos[0]:pos[1]], aux,
+                vertices, faces, pixels[..., b0:b1],
+                grad_pixels[..., b0:b1], aux,
                 implementation=implementation, parts="all",
-                color_cotangent=grad_gbuffer[..., col[0]:col[1]])
-            grad_backgrounds.append(g.grad_background)
-            grad_attrs.append(g.grad_vertex_colors)
-        elif pos is not None:
-            g = rasterise_grad_batch(
-                vertices, faces, pixels[..., pos[0]:pos[1]],
-                grad_pixels[..., pos[0]:pos[1]], aux,
-                implementation=implementation, parts="position")
+                color_cotangent=grad_gbuffer)
+            grad_background = g.grad_background
+            grad_attrs = g.grad_vertex_colors
         else:
             g = rasterise_grad_batch(
-                vertices, faces, gbuffer[..., col[0]:col[1]],
-                grad_gbuffer[..., col[0]:col[1]], aux,
-                implementation=implementation, parts="color")
-            grad_backgrounds.append(g.grad_background)
-            grad_attrs.append(g.grad_vertex_colors)
-        if pos is not None:
-            grad_vertices = (g.grad_vertices if grad_vertices is None
-                             else grad_vertices + g.grad_vertices)
-    return (jnp.concatenate(grad_backgrounds, axis=-1)
-            if len(grad_backgrounds) > 1 else grad_backgrounds[0],
-            grad_vertices,
-            jnp.concatenate(grad_attrs, axis=-1)
-            if len(grad_attrs) > 1 else grad_attrs[0])
+                vertices, faces, pixels[..., b0:b1],
+                grad_pixels[..., b0:b1], aux,
+                implementation=implementation, parts="position")
+        grad_vertices = (g.grad_vertices if grad_vertices is None
+                         else grad_vertices + g.grad_vertices)
+    return grad_background, grad_vertices, grad_attrs
 
 
 def rasterise_grad_grouped(vertices, faces, pixels, grad_pixels, aux,

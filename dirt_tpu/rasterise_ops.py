@@ -37,11 +37,15 @@ from .ops import backward as _backward
 from .ops import dispatch as _dispatch
 
 # Fused deferred backward (round 5): both halves of the deferred gradient
-# in one kernel sweep per paired channel group (backward.
-# rasterise_grad_deferred) instead of a parts="position" sweep plus a
-# parts="color" sweep.  Bitwise-equal to the two-call path by
-# construction; default ON after the device A/B (sweeps/_sweep_dbwd.py,
-# BASELINE.md round-5).
+# in one kernel sweep (backward.rasterise_grad_deferred) instead of a
+# parts="position" sweep plus a parts="color" sweep -- ALL G-buffer
+# colour channels ride the first shaded group's sweep (colour reductions
+# are per-channel independent; only the position half's Scharr is
+# group-sensitive), with extra sweeps only for shaded images wider than
+# one channel group.  Bitwise-equal to the grouped two-call path by
+# construction; default ON after the device A/Bs (sweeps/_sweep_dbwd.py,
+# BASELINE.md round-5: -18/-33/-42% by mesh size, -49% at a 7-channel
+# G-buffer).
 DEFERRED_FUSED = _os.environ.get("DIRT_TPU_DEFERRED_FUSED", "1") != "0"
 
 
@@ -232,11 +236,12 @@ def _deferred_bwd(shader_fn, backend, residuals, grad_pixels):
     grad_gbuffer, grad_shader_inputs = shader_vjp(grad_pixels)
 
     if DEFERRED_FUSED:
-        # One kernel sweep per paired channel group computes BOTH halves:
-        # vertex gradients from Scharr-filtering the *shaded* image (the
-        # correct boundary gradients, dirt/rasterise_ops.py:204-210) and
-        # attribute/background gradients from the G-buffer cotangent.
-        # Bitwise-equal to the two-call form below.
+        # One kernel sweep computes BOTH halves: vertex gradients from
+        # Scharr-filtering the *shaded* image (the correct boundary
+        # gradients, dirt/rasterise_ops.py:204-210) and attribute/
+        # background gradients from the G-buffer cotangent riding the
+        # same sweep's colour rows.  Bitwise-equal to the two-call form
+        # below.
         grad_background, grad_vertices, grad_attributes = (
             _backward.rasterise_grad_deferred(
                 vertices, faces, pixels, grad_pixels, gbuffer,
