@@ -584,9 +584,17 @@ def rasterise_grad_grouped(vertices, faces, pixels, grad_pixels, aux,
     for parity.  All arguments are batched [B, ...].
 
     `parts` and `implementation` propagate to every per-group call (see
-    rasterise_grad_batch); grouping itself is parts-agnostic because both
-    the per-group position sums and the per-group colour concatenation act
-    on the group's own rows.
+    rasterise_grad_batch).  Grouping constrains only the POSITION half
+    (the Scharr responses and dilation decisions are per-group, so the
+    per-group vertex gradients must be computed separately and summed);
+    colour and background rows are per-channel independent, so they ride
+    ONE sweep however wide the image is (round 5; the same observation
+    that fully fused the deferred backward -- the grouped-loop values are
+    bitwise-identical, each channel's rows being the same expression
+    subtree in a wider call).  "all" therefore runs 1 full call (group
+    0's Scharr + every colour channel via `color_cotangent`) plus
+    position-only calls for the remaining groups; "color" runs exactly
+    one call.
 
     Returns (grad_background, grad_vertices, grad_vertex_colors).
     """
@@ -597,21 +605,41 @@ def rasterise_grad_grouped(vertices, faces, pixels, grad_pixels, aux,
                                      implementation=implementation)
         return grads.grad_background, grads.grad_vertices, grads.grad_vertex_colors
 
-    grad_backgrounds = []
-    grad_vertex_colors = []
-    grad_vertices = None
-    begin = 0
-    while begin < channels:
-        end = begin + 3 if begin + 3 <= channels else begin + 1
+    if parts == "color":
+        # Colour rows never depend on the grouping: one call, all channels.
         grads = rasterise_grad_batch(
-            vertices, faces,
-            pixels[..., begin:end], grad_pixels[..., begin:end], aux,
-            parts=parts, implementation=implementation)
-        grad_backgrounds.append(grads.grad_background)
-        grad_vertex_colors.append(grads.grad_vertex_colors)
+            vertices, faces, pixels, grad_pixels, aux,
+            parts="color", implementation=implementation)
+        return (grads.grad_background, grads.grad_vertices,
+                grads.grad_vertex_colors)
+
+    grad_background = None
+    grad_vertex_colors = None
+    grad_vertices = None
+    position_backgrounds = []
+    for begin, end in _channel_groups(channels):
+        if parts == "all" and grad_vertices is None:
+            # First group: its Scharr drives this call's position rows,
+            # and EVERY colour channel rides along as the colour cotangent.
+            grads = rasterise_grad_batch(
+                vertices, faces,
+                pixels[..., begin:end], grad_pixels[..., begin:end], aux,
+                parts="all", implementation=implementation,
+                color_cotangent=grad_pixels)
+            grad_background = grads.grad_background
+            grad_vertex_colors = grads.grad_vertex_colors
+        else:
+            grads = rasterise_grad_batch(
+                vertices, faces,
+                pixels[..., begin:end], grad_pixels[..., begin:end], aux,
+                parts="position", implementation=implementation)
+            position_backgrounds.append(grads.grad_background)
         grad_vertices = (grads.grad_vertices if grad_vertices is None
                          else grad_vertices + grads.grad_vertices)
-        begin = end
-    return (jnp.concatenate(grad_backgrounds, axis=-1),
-            grad_vertices,
-            jnp.concatenate(grad_vertex_colors, axis=-1))
+    if parts == "position":
+        # Pre-round-5 contract: real (uncovered-cotangent) background,
+        # zero colour rows.
+        grad_background = jnp.concatenate(position_backgrounds, axis=-1)
+        grad_vertex_colors = jnp.zeros(
+            grad_vertices.shape[:-1] + (channels,), jnp.float32)
+    return grad_background, grad_vertices, grad_vertex_colors
